@@ -1,0 +1,260 @@
+"""Flax GPT-2 backbone for temporal interaction sequences.
+
+A from-scratch decoder-only transformer matching the architecture the
+reference trains from scratch (reference: models/modeling_gpt2.py — pre-LN
+blocks, learned positions, gelu_new MLP, scaled dot-product causal
+attention, weight-tied LM head), designed TPU-first:
+
+  * fully functional — no mutable state; the KV cache is an explicit pytree
+    threaded through calls, so decode steps jit cleanly and batch.
+  * static shapes everywhere — the cache is pre-sized, sequence growth is a
+    ``dynamic_update_slice`` + mask, not a reshape.
+  * compute dtype is configurable (bfloat16 on TPU; f32 accumulation in the
+    attention softmax and logits via ``preferred_element_type``).
+
+The model returns ``(logits, hidden)`` like the reference forward returns
+``(outputs, hidden_states)`` (reference: models/modeling_rag.py:687) — the
+retriever mean-pools ``hidden``.
+
+Parity notes (deliberate reference-quirk reproductions):
+  * training attends over right-padding and computes loss on pad positions
+    (the reference passes no attention mask and labels == inputs); padding
+    masks exist here only for the batched left-padded decode path, where
+    they make batched decoding exactly equivalent to the reference's
+    one-sample-at-a-time loop.
+  * the LM head is weight-tied to ``wte`` (reference ties via
+    ``init_weights``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag4dyg_tpu.config import ModelConfig
+
+NEG_INF = -1e9
+
+
+def _dense_init(config: ModelConfig):
+    return nn.initializers.normal(stddev=config.initializer_range)
+
+
+class CausalSelfAttention(nn.Module):
+    """Multi-head causal self-attention with optional external KV cache."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool,
+                 pad_mask: Optional[jnp.ndarray] = None,
+                 cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 cache_index: Optional[jnp.ndarray] = None,
+                 cache_valid: Optional[jnp.ndarray] = None):
+        cfg = self.config
+        B, L, D = x.shape
+        H, Dh = cfg.n_head, cfg.head_dim
+
+        qkv = nn.Dense(3 * D, kernel_init=_dense_init(cfg), name="c_attn",
+                       dtype=x.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)  # [B,H,L,Dh]
+        k = k.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+
+        if cache_kv is not None:
+            ck, cv = cache_kv  # [B,H,T,Dh] pre-sized
+            T = ck.shape[2]
+            idx = cache_index  # scalar int32: number of already-cached tokens
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, 0, idx, 0))
+            keys, values = ck, cv
+            new_cache_kv = (ck, cv)
+            key_pos = jnp.arange(T)[None, :]                 # [1,T]
+            query_pos = idx + jnp.arange(L)[:, None]         # [L,1]
+            causal = key_pos <= query_pos                    # [L,T] (bcast)
+            mask = causal[None, None]                        # [1,1,L,T]
+            if cache_valid is not None:
+                mask = jnp.logical_and(mask, cache_valid[:, None, None, :])
+        else:
+            keys, values = k, v
+            new_cache_kv = None
+            causal = jnp.tril(jnp.ones((L, L), dtype=bool))
+            mask = causal[None, None]
+            if pad_mask is not None:
+                mask = jnp.logical_and(mask, pad_mask[:, None, None, :])
+
+        scale = 1.0 / np.sqrt(Dh)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, keys,
+                         preferred_element_type=jnp.float32) * scale
+        att = jnp.where(mask, att, NEG_INF)
+        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        att = nn.Dropout(cfg.attn_pdrop)(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, values.astype(x.dtype))
+        y = y.transpose(0, 2, 1, 3).reshape(B, L, D)
+        y = nn.Dense(D, kernel_init=_dense_init(cfg), name="c_proj",
+                     dtype=x.dtype)(y)
+        y = nn.Dropout(cfg.resid_pdrop)(y, deterministic=deterministic)
+        return y, new_cache_kv
+
+
+class MLP(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        cfg = self.config
+        h = nn.Dense(4 * cfg.n_embd, kernel_init=_dense_init(cfg),
+                     name="c_fc", dtype=x.dtype)(x)
+        h = jax.nn.gelu(h, approximate=True)  # == reference gelu_new
+        h = nn.Dense(cfg.n_embd, kernel_init=_dense_init(cfg),
+                     name="c_proj", dtype=x.dtype)(h)
+        return nn.Dropout(cfg.resid_pdrop)(h, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference: models/modeling_gpt2.py:270-290)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, pad_mask=None,
+                 cache_kv=None, cache_index=None, cache_valid=None):
+        cfg = self.config
+        a, new_kv = CausalSelfAttention(cfg, name="attn")(
+            nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_1")(x),
+            deterministic=deterministic, pad_mask=pad_mask,
+            cache_kv=cache_kv, cache_index=cache_index,
+            cache_valid=cache_valid)
+        x = x + a
+        m = MLP(cfg, name="mlp")(
+            nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_2")(x),
+            deterministic=deterministic)
+        return x + m, new_kv
+
+
+class GPT2LMModel(nn.Module):
+    """GPT-2 with weight-tied LM head.
+
+    Returns ``(logits, hidden, new_cache)``; ``hidden`` is the post-``ln_f``
+    hidden state the retriever mean-pools.
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_ids: Optional[jnp.ndarray] = None,
+                 inputs_embeds: Optional[jnp.ndarray] = None,
+                 *, deterministic: bool = True,
+                 position_ids: Optional[jnp.ndarray] = None,
+                 pad_mask: Optional[jnp.ndarray] = None,
+                 cache: Optional[Dict[str, Any]] = None):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+
+        wte = self.param("wte", nn.initializers.normal(cfg.initializer_range),
+                         (cfg.vocab_size, cfg.n_embd), jnp.float32)
+        wpe = self.param("wpe", nn.initializers.normal(cfg.initializer_range),
+                         (cfg.n_positions, cfg.n_embd), jnp.float32)
+
+        if inputs_embeds is None:
+            inputs_embeds = jnp.take(wte, input_ids, axis=0)
+        B, L = inputs_embeds.shape[:2]
+
+        if position_ids is None:
+            start = cache["index"] if cache is not None else 0
+            position_ids = start + jnp.arange(L)[None, :]
+        pos_embeds = jnp.take(wpe, position_ids, axis=0)
+        if pos_embeds.ndim == 2:  # shared positions across batch
+            pos_embeds = pos_embeds[None]
+
+        h = (inputs_embeds + pos_embeds).astype(dtype)
+        h = nn.Dropout(cfg.embd_pdrop)(h, deterministic=deterministic)
+
+        new_cache = None if cache is None else dict(cache)
+        cache_valid = None
+        if cache is not None:
+            # mark the new slots valid (pad_mask marks real vs left-pad slots)
+            step_valid = (jnp.ones((B, L), bool) if pad_mask is None
+                          else pad_mask.astype(bool))
+            valid = jax.lax.dynamic_update_slice(
+                cache["valid"], step_valid, (0, cache["index"]))
+            new_cache["valid"] = valid
+            cache_valid = valid
+
+        for layer in range(cfg.n_layer):
+            layer_kv = None
+            if cache is not None:
+                layer_kv = (cache["k"][layer], cache["v"][layer])
+            h, new_kv = Block(cfg, name=f"h_{layer}")(
+                h, deterministic=deterministic,
+                pad_mask=None if cache is not None else pad_mask,
+                cache_kv=layer_kv,
+                cache_index=None if cache is None else cache["index"],
+                cache_valid=cache_valid)
+            if cache is not None:
+                new_cache["k"] = new_cache["k"].at[layer].set(new_kv[0])
+                new_cache["v"] = new_cache["v"].at[layer].set(new_kv[1])
+
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f")(h)
+        logits = jnp.einsum("bld,vd->blv", h, wte.astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+        if cache is not None:
+            new_cache["index"] = cache["index"] + L
+        return logits, h.astype(jnp.float32), new_cache
+
+
+def init_params(config: ModelConfig, rng: jax.Array,
+                example_len: int = 8) -> Dict[str, Any]:
+    model = GPT2LMModel(config)
+    ids = jnp.zeros((1, example_len), jnp.int32)
+    return model.init({"params": rng}, ids)["params"]
+
+
+def init_cache(config: ModelConfig, batch: int, max_len: int,
+               dtype=jnp.float32) -> Dict[str, Any]:
+    """Pre-sized KV cache pytree for batched decoding."""
+    H, Dh = config.n_head, config.head_dim
+    shape = (config.n_layer, batch, H, max_len, Dh)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "valid": jnp.zeros((batch, max_len), bool),
+        "index": jnp.asarray(0, jnp.int32),
+    }
+
+
+def load_node_feature_embeddings(params: Dict[str, Any],
+                                 node_features: np.ndarray,
+                                 num_nodes: int) -> Dict[str, Any]:
+    """Overwrite the first ``num_nodes`` wte rows with raw node features,
+    zero-padded to n_embd; special-token rows keep their learned init
+    (reference: main_SimpleDyG.py:108-120). Returns a new params tree."""
+    wte = np.asarray(params["wte"])
+    feats = np.asarray(node_features, np.float32)[:num_nodes]
+    if feats.shape[1] < wte.shape[1]:
+        feats = np.concatenate(
+            [feats, np.zeros((feats.shape[0], wte.shape[1] - feats.shape[1]),
+                             np.float32)], axis=1)
+    new_wte = np.concatenate([feats, wte[feats.shape[0]:]], axis=0)
+    out = dict(params)
+    out["wte"] = jnp.asarray(new_wte)
+    return out
+
+
+def freeze_backbone_labels(params: Dict[str, Any],
+                           trainable_keys: Tuple[str, ...] = ()) -> Dict[str, Any]:
+    """Pytree of 'trainable'/'frozen' labels for optax.multi_transform,
+    mirroring the reference's transformer freeze
+    (reference: utils/model.py:71-78)."""
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return "trainable" if top in trainable_keys else "frozen"
+    return jax.tree_util.tree_map_with_path(label, params)

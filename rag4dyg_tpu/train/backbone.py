@@ -1,0 +1,186 @@
+"""Stage 1: train the SimpleDyG GPT-2 backbone on serialized sequences.
+
+The training protocol mirrors the reference driver
+(reference: main_SimpleDyG.py:213-343): AdamW + linear warmup/decay, labels
+are the inputs (LM objective over every position, padding included),
+gradient clipping at 1.0, one generation-metric validation per epoch with
+early stopping on val NDCG@5 (a tie with the best score *saves and resets*
+the patience counter — stage-1 semantics differ from the later stages),
+best model kept as checkpoint-best plus a rolling checkpoint-last.
+
+TPU-first deltas from the reference: batches are length-bucketed so XLA
+compiles a handful of programs instead of one per batch shape, the train
+step is one jit-compiled fused update, and validation decoding runs the
+batched KV-cache decoder instead of a per-sample re-forward loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rag4dyg_tpu.config import DatasetSpec, ModelConfig
+from rag4dyg_tpu.data.batching import iterate_batches
+from rag4dyg_tpu.data.serialize import read_corpus_lines
+from rag4dyg_tpu.data.vocab import Tokenizer
+from rag4dyg_tpu.eval.evaluate import generation_eval
+from rag4dyg_tpu.models import GPT2LMModel, init_params
+from rag4dyg_tpu.models.gpt2 import load_node_feature_embeddings
+from rag4dyg_tpu.train.losses import shift_ce_loss
+from rag4dyg_tpu.train.state import (
+    linear_warmup_linear_decay,
+    make_optimizer,
+)
+from rag4dyg_tpu.utils.checkpoint import save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class StageResult:
+    best_epoch: int
+    best_val: Dict
+    val_metrics: Dict
+    test_metrics: Dict
+    train_hours: float
+    checkpoint_dir: str
+
+
+def make_lm_train_step(model: GPT2LMModel, optimizer):
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            logits, _, _ = model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": rng})
+            return shift_ce_loss(logits, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return step
+
+
+def build_backbone(spec: DatasetSpec, tokenizer: Tokenizer,
+                   rng: jax.Array, *, dtype: str = "float32",
+                   node_features: Optional[np.ndarray] = None):
+    config = ModelConfig(
+        vocab_size=len(tokenizer), n_layer=spec.n_layer, n_head=spec.n_head,
+        n_embd=spec.n_embd, dtype=dtype)
+    model = GPT2LMModel(config)
+    params = init_params(config, rng)
+    if node_features is not None:
+        params = load_node_feature_embeddings(params, node_features,
+                                              tokenizer.vocab_size)
+    return model, params
+
+
+def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
+                   epochs: Optional[int] = None, seed: Optional[int] = None,
+                   dtype: str = "float32", eval_batch_size: int = 64,
+                   node_features: Optional[np.ndarray] = None,
+                   max_steps_per_epoch: Optional[int] = None,
+                   max_eval_queries: Optional[int] = None,
+                   log_every: int = 50) -> StageResult:
+    seed = spec.seed if seed is None else seed
+    epochs = spec.epochs if epochs is None else epochs
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.RandomState(seed)
+
+    tokenizer = Tokenizer.from_vocab_file(
+        os.path.join(resources_dir, "vocab.json"), spec.timestep,
+        with_mask_token=False)
+    train_lines = read_corpus_lines(
+        os.path.join(resources_dir, "train.link_prediction"))
+    val_lines = read_corpus_lines(
+        os.path.join(resources_dir, "val.link_prediction"))
+    val_gt = read_corpus_lines(
+        os.path.join(resources_dir, "val_gt.link_prediction"))
+    test_lines = read_corpus_lines(
+        os.path.join(resources_dir, "test.link_prediction"))
+    test_gt = read_corpus_lines(
+        os.path.join(resources_dir, "test_gt.link_prediction"))
+    if max_eval_queries:  # smoke-mode cap
+        val_lines, val_gt = val_lines[:max_eval_queries], val_gt[:max_eval_queries]
+        test_lines, test_gt = test_lines[:max_eval_queries], test_gt[:max_eval_queries]
+
+    examples = tokenizer.encode_batch(train_lines, max_len=spec.block_size)
+
+    rng, init_rng = jax.random.split(rng)
+    model, params = build_backbone(spec, tokenizer, init_rng, dtype=dtype,
+                                   node_features=node_features)
+
+    steps_per_epoch = len(examples) // spec.batch_size
+    schedule = linear_warmup_linear_decay(spec.learning_rate, 0,
+                                          steps_per_epoch * epochs)
+    optimizer = make_optimizer(params, schedule, weight_decay=0.0)
+    opt_state = optimizer.init(params)
+    train_step = make_lm_train_step(model, optimizer)
+
+    node_vocab = tokenizer.node_vocab
+    best_score, best_params, best_epoch = None, params, -1
+    counter = 0
+    start = time.time()
+    global_step = 0
+
+    for epoch in range(epochs):
+        epoch_loss, n_batches = 0.0, 0
+        for batch in iterate_batches(examples, spec.batch_size,
+                                     tokenizer.pad_id, rng=np_rng):
+            rng, drop_rng = jax.random.split(rng)
+            params, opt_state, loss = train_step(params, opt_state,
+                                                 jnp.asarray(batch), drop_rng)
+            epoch_loss += float(loss)
+            n_batches += 1
+            global_step += 1
+            if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
+                break
+
+        val_metrics = generation_eval(
+            model, params, tokenizer, val_lines, val_gt, node_vocab, "val",
+            batch_size=eval_batch_size)
+        score = val_metrics["NDCG"]
+        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f jaccard %.4f",
+                    epoch, epoch_loss / max(1, n_batches), score,
+                    val_metrics["jaccard"])
+
+        # stage-1 early stopping: ties save and reset (main_SimpleDyG.py:306-328)
+        if best_score is None or score >= best_score:
+            best_score, best_params, best_epoch = score, params, epoch
+            counter = 0
+            save_checkpoint(os.path.join(out_dir, "checkpoint-best"),
+                            best_params, config=model.config,
+                            meta={"epoch": epoch, "val_ndcg5": score,
+                                  "stage": "backbone", "seed": seed})
+        else:
+            counter += 1
+            if counter >= spec.patience:
+                logger.info("early stop at epoch %d (best %d)", epoch,
+                            best_epoch)
+                break
+
+    hours = (time.time() - start) / 3600
+    save_checkpoint(os.path.join(out_dir, "checkpoint-last"), params,
+                    config=model.config,
+                    meta={"epoch": epoch, "stage": "backbone", "seed": seed})
+
+    val_metrics = generation_eval(model, best_params, tokenizer, val_lines,
+                                  val_gt, node_vocab, "val",
+                                  batch_size=eval_batch_size)
+    test_metrics = generation_eval(model, best_params, tokenizer, test_lines,
+                                   test_gt, node_vocab, "test",
+                                   batch_size=eval_batch_size)
+    logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
+                test_metrics)
+    return StageResult(best_epoch, {"NDCG": best_score}, val_metrics,
+                       test_metrics, hours,
+                       os.path.join(out_dir, "checkpoint-best"))

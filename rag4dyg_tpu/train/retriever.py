@@ -1,0 +1,312 @@
+"""Stage 3: time-aware contrastive retriever.
+
+Protocol mirror of the reference trainer (reference:
+train/train_retriever.py): triples of (anchor, positive, hard-negative)
+history-only sequences are encoded by the GPT-2 backbone, mean-pooled over
+the (padded) sequence axis, and optimized with the time-decayed contrastive
+loss plus alpha * info-NCE over two crop/mask augmentation views. Per-epoch
+validation embeds the entire train pool and scores queries by rescaled
+cosine similarity; early stopping tracks hit@3 (saves only after the
+warmup epoch, strictly-greater improves — reference:
+train/train_retriever.py:309-327). The best model writes the ranked
+{val,test}_{index,score}.gen files the generator consumes.
+
+TPU-first deltas: all three encoder passes and both augmentation passes run
+inside one jit-compiled train step; pool scoring is the DenseIndex matmul
+(optionally mesh-sharded) instead of a host loop; the reference's per-batch
+max-length padding becomes bucketed padding (the mean-pool divisor is the
+padded length in both designs — batch-composition-dependent there, bucket-
+dependent here; self-consistent either way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rag4dyg_tpu.config import DatasetSpec, ModelConfig
+from rag4dyg_tpu.data.serialize import read_corpus_lines
+from rag4dyg_tpu.data.vocab import Tokenizer, pad_batch
+from rag4dyg_tpu.eval.metrics import hit_rate_at_k
+from rag4dyg_tpu.models import GPT2LMModel, init_params
+from rag4dyg_tpu.models.augment import augment_views
+from rag4dyg_tpu.pool.index import DenseIndex
+from rag4dyg_tpu.train.losses import cltime_loss, info_nce_loss
+from rag4dyg_tpu.train.state import epoch_cosine_schedule, make_optimizer
+from rag4dyg_tpu.utils.checkpoint import (
+    load_params,
+    save_checkpoint,
+    transfer_backbone,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def history_lines(lines: List[str]) -> List[str]:
+    """History-only view of corpus lines (text before <|pre|>; reference:
+    dataloader/retriever.py:48,75)."""
+    return [ln.split("<|pre|>")[0].strip() for ln in lines]
+
+
+@dataclasses.dataclass
+class RetrieverResult:
+    best_epoch: int
+    val_metrics: Dict
+    test_metrics: Dict
+    train_hours: float
+    checkpoint_dir: str
+
+
+def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
+                              temperature: float, lambda_decay: float,
+                              eta: float, gamma: float, mask_token: int):
+    @jax.jit
+    def step(params, opt_state, anchor, pos, neg, a_t, p_t, n_t, rng):
+        drop_rng, aug_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            rngs = {"dropout": drop_rng}
+            def encode(ids):
+                _, h, _ = model.apply({"params": p}, ids,
+                                      deterministic=False, rngs=rngs)
+                return jnp.mean(h, axis=1)
+            h_a, h_p, h_n = encode(anchor), encode(pos), encode(neg)
+            cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
+                             temperature=temperature,
+                             decay_rate=lambda_decay)
+            aug1, aug2 = augment_views(anchor, aug_rng, eta=eta, gamma=gamma,
+                                       mask_token=mask_token)
+            z1, z2 = encode(aug1), encode(aug2)
+            aug = alpha * info_nce_loss(z1, z2, temperature)
+            return cl + aug, (cl, aug)
+
+        (loss, (cl, aug)), grads = jax.value_and_grad(loss_fn,
+                                                      has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, cl, aug
+    return step
+
+
+def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
+                 lines: List[str], *, block_size: int = 512,
+                 batch_size: int = 64, bucket: int = 64) -> np.ndarray:
+    """Mean-pooled hidden-state embeddings for a list of (history) lines."""
+    examples = tokenizer.encode_batch(lines, max_len=block_size)
+
+    @jax.jit
+    def encode(ids):
+        _, h, _ = model.apply({"params": params}, ids, deterministic=True)
+        return jnp.mean(h, axis=1)
+
+    out = []
+    for start in range(0, len(examples), batch_size):
+        chunk = examples[start:start + batch_size]
+        batch = pad_batch(chunk, tokenizer.pad_id, multiple_of=bucket)
+        out.append(np.asarray(encode(jnp.asarray(batch))))
+    return np.concatenate(out, axis=0)
+
+
+def score_pool(model: GPT2LMModel, params, tokenizer: Tokenizer,
+               query_lines: List[str], index: DenseIndex, *,
+               block_size: int = 512, batch_size: int = 32) -> np.ndarray:
+    """[n_queries, n_pool] rescaled-cosine scores."""
+    q = embed_corpus(model, params, tokenizer, query_lines,
+                     block_size=block_size, batch_size=batch_size)
+    return np.asarray(index.score(q))
+
+
+def retrieval_metrics(pred_scores: np.ndarray, gt_scores: np.ndarray,
+                      batch_size: int = 32) -> Dict[str, float]:
+    """hit@1/hit@3 with the reference's per-batch averaging
+    (reference: train/train_retriever.py:458-479)."""
+    hit1, hit3, nb = 0.0, 0.0, 0
+    for s in range(0, pred_scores.shape[0], batch_size):
+        ps, gs = pred_scores[s:s + batch_size], gt_scores[s:s + batch_size]
+        h1, h3 = 0, 0
+        for i in range(ps.shape[0]):
+            gt = np.argsort(-gs[i])[:3]
+            pred = np.argsort(-ps[i])
+            h1 += hit_rate_at_k(pred, gt, 1)
+            h3 += hit_rate_at_k(pred, gt, 3)
+        n = ps.shape[0]
+        hit1 += h1 / n
+        hit3 += h3 / n
+        nb += 1
+    return {"hit@1": round(hit1 / max(1, nb), 4),
+            "hit@3": round(hit3 / max(1, nb), 4)}
+
+
+def write_gen_files(scores: np.ndarray, out_dir: str, split: str) -> None:
+    """Ranked index/score files for the generator
+    (reference: train/train_retriever.py:357-368, '%.4f' scores)."""
+    os.makedirs(out_dir, exist_ok=True)
+    idx = np.argsort(-scores, axis=1)
+    with open(os.path.join(out_dir, f"{split}_index.gen"), "w") as f, \
+         open(os.path.join(out_dir, f"{split}_score.gen"), "w") as g:
+        for i in range(scores.shape[0]):
+            f.write(" ".join(str(x) for x in idx[i]) + "\n")
+            g.write(" ".join(f"{x:.4f}" for x in scores[i]) + "\n")
+
+
+def load_pairs(path: str) -> np.ndarray:
+    with open(path) as f:
+        rows = [list(map(int, ln.split())) for ln in f.read().splitlines()
+                if ln.strip()]
+    return np.asarray(rows, np.int64)
+
+
+def load_score_matrix(path: str) -> np.ndarray:
+    with open(path) as f:
+        rows = [list(map(float, ln.split())) for ln in f.read().splitlines()
+                if ln.strip()]
+    return np.asarray(rows, np.float64)
+
+
+def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
+                    backbone_ckpt: Optional[str] = None,
+                    query_times: Optional[np.ndarray] = None,
+                    epochs: Optional[int] = None,
+                    seed: Optional[int] = None, dtype: str = "float32",
+                    eval_batch_size: int = 32,
+                    max_steps_per_epoch: Optional[int] = None,
+                    max_eval_queries: Optional[int] = None,
+                    gen_out_dir: Optional[str] = None) -> RetrieverResult:
+    rcfg = spec.retriever
+    seed = rcfg.seed if seed is None else seed
+    epochs = rcfg.epochs if epochs is None else epochs
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.RandomState(seed)
+
+    tokenizer = Tokenizer.from_vocab_file(
+        os.path.join(resources_dir, "vocab.json"), spec.timestep,
+        with_mask_token=True)
+
+    train_lines = read_corpus_lines(
+        os.path.join(resources_dir, "train.link_prediction"))
+    pool_lines = history_lines(train_lines)
+    pool_examples = tokenizer.encode_batch(pool_lines, max_len=spec.block_size)
+
+    pairs = load_pairs(os.path.join(resources_dir, "train_retrieval",
+                                    "train_index.retrieval"))
+    val_lines = read_corpus_lines(
+        os.path.join(resources_dir, "val.link_prediction"))
+    test_lines = read_corpus_lines(
+        os.path.join(resources_dir, "test.link_prediction"))
+    val_gt = load_score_matrix(os.path.join(resources_dir, "train_retrieval",
+                                            "val_score.retrieval"))
+    test_gt = load_score_matrix(os.path.join(resources_dir, "train_retrieval",
+                                             "test_score.retrieval"))
+    if max_eval_queries:  # smoke-mode cap
+        val_lines, val_gt = val_lines[:max_eval_queries], val_gt[:max_eval_queries]
+        test_lines, test_gt = test_lines[:max_eval_queries], test_gt[:max_eval_queries]
+
+    if query_times is None:
+        qt_path = os.path.join(resources_dir, "train_query_time.npy")
+        query_times = np.load(qt_path)
+    query_times = np.asarray(query_times, np.float32)
+    assert len(query_times) == len(train_lines)
+
+    config = ModelConfig(vocab_size=len(tokenizer), n_layer=rcfg.n_layer,
+                         n_head=rcfg.n_head, n_embd=rcfg.n_embd, dtype=dtype,
+                         eta=rcfg.eta, gamma=rcfg.gamma)
+    model = GPT2LMModel(config)
+    rng, init_rng = jax.random.split(rng)
+    params = init_params(config, init_rng)
+    if backbone_ckpt is not None and rcfg.init_from_backbone:
+        params = transfer_backbone(params, load_params(backbone_ckpt))
+
+    steps_per_epoch = max(1, int(np.ceil(len(pairs) / rcfg.batch_size)))
+    schedule = epoch_cosine_schedule(rcfg.learning_rate, rcfg.warmup_epochs,
+                                     epochs, steps_per_epoch)
+    optimizer = make_optimizer(params, schedule,
+                               weight_decay=rcfg.weight_decay)
+    opt_state = optimizer.init(params)
+    # the reference masks token vocab_size-1, which after the [MASK] resize
+    # IS the mask token id (modeling_rag.py:790)
+    train_step = make_retriever_train_step(
+        model, optimizer, alpha=rcfg.alpha, temperature=rcfg.temperature,
+        lambda_decay=rcfg.lambda_decay, eta=rcfg.eta, gamma=rcfg.gamma,
+        mask_token=len(tokenizer) - 1)
+
+    gen_out_dir = gen_out_dir or os.path.join(out_dir, "retrieval_result")
+
+    def evaluate(params, split: str, write_best: bool) -> Dict:
+        lines = val_lines if split == "val" else test_lines
+        gt = val_gt if split == "val" else test_gt
+        pool_emb = embed_corpus(model, params, tokenizer, pool_lines,
+                                block_size=spec.block_size)
+        index = DenseIndex(pool_emb)
+        scores = score_pool(model, params, tokenizer, lines, index,
+                            block_size=spec.block_size,
+                            batch_size=eval_batch_size)
+        if write_best:
+            write_gen_files(scores, gen_out_dir, split)
+        return retrieval_metrics(scores, gt, batch_size=eval_batch_size)
+
+    best_score, best_params, best_epoch, counter = None, params, -1, 0
+    last_params = params
+    start = time.time()
+
+    n_pairs = len(pairs)
+    for epoch in range(epochs):
+        order = np_rng.permutation(n_pairs)
+        epoch_loss, nb = 0.0, 0
+        for s in range(0, n_pairs, rcfg.batch_size):
+            idx = pairs[order[s:s + rcfg.batch_size]]
+            rows = [[pool_examples[i] for i in idx[:, c]] for c in range(3)]
+            max_len = max(len(sq) for col in rows for sq in col)
+            L = -(-max_len // 64) * 64  # one bucket for all three columns
+            a, p, n = (pad_batch(col, tokenizer.pad_id, length=L)
+                       for col in rows)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss, cl, aug = train_step(
+                params, opt_state, jnp.asarray(a), jnp.asarray(p),
+                jnp.asarray(n), jnp.asarray(query_times[idx[:, 0]]),
+                jnp.asarray(query_times[idx[:, 1]]),
+                jnp.asarray(query_times[idx[:, 2]]), step_rng)
+            epoch_loss += float(loss)
+            nb += 1
+            if max_steps_per_epoch and nb >= max_steps_per_epoch:
+                break
+
+        val_metrics = evaluate(params, "val", write_best=False)
+        score = val_metrics["hit@3"]
+        logger.info("epoch %d | loss %.4f | val hit@3 %.4f", epoch,
+                    epoch_loss / max(1, nb), score)
+
+        last_params = params
+        if epoch > rcfg.warmup_epochs:  # reference skips epoch<=warmup
+            if best_score is None or score > best_score:
+                best_score, best_params, best_epoch, counter = (
+                    score, params, epoch, 0)
+                save_checkpoint(os.path.join(out_dir, "checkpoint-best"),
+                                best_params, config=config,
+                                meta={"epoch": epoch, "val_hit3": score,
+                                      "stage": "retriever", "seed": seed})
+            else:
+                counter += 1
+                if counter >= rcfg.patience:
+                    logger.info("early stop at epoch %d", epoch)
+                    break
+
+    hours = (time.time() - start) / 3600
+    if best_epoch < 0:  # fewer epochs than warmup: fall back to last
+        best_params, best_epoch = last_params, epochs - 1
+    save_checkpoint(os.path.join(out_dir, "checkpoint-last"), last_params,
+                    config=config, meta={"stage": "retriever", "seed": seed})
+
+    test_metrics = evaluate(best_params, "test", write_best=True)
+    val_metrics = evaluate(best_params, "val", write_best=True)
+    logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
+                test_metrics)
+    return RetrieverResult(best_epoch, val_metrics, test_metrics, hours,
+                           os.path.join(out_dir, "checkpoint-best"))
