@@ -131,6 +131,9 @@ class DatasetSpec:
     node_feature_dim: int = 0
     # dialog-style split: train ≤ T-4, val = T-2, test = T
     dialog_split: bool = False
+    # hepth-style eval queries carry only the previous time token
+    # (reference: csv2resources.py:182-183)
+    hepth_style: bool = False
     # annotation
     jaccard_threshold: float = 0.8
     neg_num: int = 5
@@ -162,6 +165,7 @@ DATASETS = {
     "hepth": DatasetSpec(
         name="hepth", timestep=11, csv_name="hepth", time_scale=2592000.0,
         n_layer=12, n_head=2, n_embd=256, learning_rate=1e-4, seed=4,
+        hepth_style=True,
         node_features="node_features.npy", node_feature_dim=172,
         retriever=RetrieverConfig(alpha=1.0, eta=0.8, gamma=0.6, lambda_decay=0.1,
                                   batch_size=128, n_layer=12, n_head=2, n_embd=256,

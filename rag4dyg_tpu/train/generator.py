@@ -1,0 +1,371 @@
+"""Stage 4: RAG generator — demonstration-fused GPT-2 fine-tuning.
+
+Protocol mirror of the reference trainer (reference:
+train/train_generator.py, main_generator.py): each query's top-K retrieved
+demonstrations (ground-truth Jaccard ranking at train time, retriever
+ranking at eval time) are compressed into ``m`` fused embedding tokens —
+via a 1-layer GCN over the union of demonstration star graphs
+("graphpooling") or an MLP over the concatenated demo embeddings — spliced
+into the input after position 2, and the model is trained with the shifted
+CE loss over labels widened with ``m`` ignore slots. The backbone is frozen
+(only the fusion head trains; the LM head is weight-tied to the frozen
+``wte``) when ``freeze_backbone`` is set, matching the committed scripts.
+
+TPU-first deltas: the reference builds a networkx graph per sample per
+step on the host and round-trips it through torch_geometric
+(reference: utils/model.py:167-223); here fusion is the closed-form batched
+contraction in ``models/fusion.py`` living inside the jitted train step,
+and eval decoding runs the batched KV-cache decoder with the fused prompt
+prefilled once (the reference recomputes fusion every generated token —
+greedy-equivalent but O(steps) more work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rag4dyg_tpu.config import DatasetSpec, ModelConfig
+from rag4dyg_tpu.data.serialize import read_corpus_lines
+from rag4dyg_tpu.data.vocab import Tokenizer, pad_batch
+from rag4dyg_tpu.eval.evaluate import generation_eval
+from rag4dyg_tpu.models import GPT2LMModel, init_params
+from rag4dyg_tpu.models.fusion import (
+    mlp_fusion_pool,
+    splice_labels,
+    star_union_gcn_pool,
+)
+from rag4dyg_tpu.train.losses import shift_ce_loss
+from rag4dyg_tpu.train.state import epoch_cosine_schedule, make_optimizer
+from rag4dyg_tpu.utils.checkpoint import (
+    load_params,
+    save_checkpoint,
+    transfer_backbone,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class GeneratorResult:
+    best_epoch: int
+    val_metrics: Dict
+    test_metrics: Dict
+    train_hours: float
+    checkpoint_dir: str
+
+
+class DemoStore:
+    """The demonstration lookup table: the full tokenized train pool
+    (reference: dataloader/generator.py:53-55 — full lines, block-size
+    truncated) plus padded top-K gathers."""
+
+    def __init__(self, pool_examples: Sequence[Sequence[int]], pad_id: int,
+                 *, top_k: int, bucket: int = 64):
+        self.pool = [list(s) for s in pool_examples]
+        self.pad_id = pad_id
+        self.top_k = top_k
+        max_len = max(len(s) for s in self.pool)
+        self.demo_len = -(-max_len // bucket) * bucket
+        # [N, S] padded pool + valid mask, gathered per batch on device
+        N = len(self.pool)
+        ids = np.full((N, self.demo_len), pad_id, np.int32)
+        valid = np.zeros((N, self.demo_len), bool)
+        for i, s in enumerate(self.pool):
+            ids[i, : len(s)] = s
+            valid[i, : len(s)] = True
+        self.ids = jnp.asarray(ids)
+        self.valid = jnp.asarray(valid)
+
+    def gather(self, topk_idx: np.ndarray):
+        """[B, K] pool indices -> ([B, K, S] ids, [B, K, S] valid)."""
+        idx = jnp.asarray(np.asarray(topk_idx)[:, : self.top_k])
+        return jnp.take(self.ids, idx, axis=0), jnp.take(self.valid, idx,
+                                                         axis=0)
+
+    def concat_for_mlp(self, topk_idx: np.ndarray,
+                       pad_len: int = 512) -> np.ndarray:
+        """Concatenated demo tokens truncated/padded to ``pad_len``
+        (reference: utils/model.py:129-141)."""
+        out = np.full((len(topk_idx), pad_len), self.pad_id, np.int32)
+        for r, row in enumerate(np.asarray(topk_idx)[:, : self.top_k]):
+            cat: List[int] = []
+            for i in row:
+                cat.extend(self.pool[int(i)])
+            cat = cat[:pad_len]
+            out[r, : len(cat)] = cat
+        return out
+
+
+def init_fusion_params(rng: jax.Array, cfg: ModelConfig, fusion: str,
+                       *, m: int, fusion_pad_len: int = 512) -> Dict:
+    """Glorot-uniform kernel + zero bias, matching PyG GCNConv /
+    torch.nn.Linear default inits closely enough for training parity."""
+    if fusion == "graphpooling":
+        k = jax.nn.initializers.glorot_uniform()(
+            rng, (cfg.n_embd, cfg.n_embd), jnp.float32)
+        return {"kernel": k, "bias": jnp.zeros((cfg.n_embd,), jnp.float32)}
+    k = jax.nn.initializers.glorot_uniform()(
+        rng, (fusion_pad_len, m), jnp.float32)
+    return {"kernel": k, "bias": jnp.zeros((m,), jnp.float32)}
+
+
+def fused_embedding(params: Dict, fusion: str, wte: jnp.ndarray,
+                    demo_ids, demo_valid=None, *, m: int = 1) -> jnp.ndarray:
+    """[B, m, D] fused demonstration embedding(s)."""
+    f = params["fusion"]
+    if fusion == "graphpooling":
+        out = star_union_gcn_pool(demo_ids, demo_valid, wte,
+                                  f["kernel"], f["bias"])
+        return out[:, None, :]
+    return mlp_fusion_pool(demo_ids, wte, f["kernel"], f["bias"], m)
+
+
+def splice_prefill(wte: jnp.ndarray, ids: jnp.ndarray,
+                   pad_mask: jnp.ndarray, fused: jnp.ndarray):
+    """Insert ``fused`` [B, m, D] after the 2nd *real* token of each
+    left-padded row; returns (embeds [B, L+m, D], pad_mask, position_ids).
+
+    With right-aligned rows, out column j sources input column j while
+    j < boundary (= pad_len + 2) and column j - m after, with the fused
+    tokens in between — a per-row vectorized gather, jit-friendly.
+    """
+    B, L = ids.shape
+    m = fused.shape[1]
+    n_real = pad_mask.sum(axis=1).astype(jnp.int32)      # [B]
+    boundary = (L - n_real + 2)[:, None]                 # after bos,<|history|>
+    j = jnp.arange(L + m)[None, :]                       # [1, L+m]
+    is_fused = jnp.logical_and(j >= boundary, j < boundary + m)
+    src = jnp.where(j < boundary, j, j - m)
+    src = jnp.clip(src, 0, L - 1)
+    E = jnp.take(wte, ids, axis=0)                       # [B, L, D]
+    gathered = jnp.take_along_axis(E, src[:, :, None], axis=1)
+    fus_idx = jnp.clip(j - boundary, 0, m - 1)
+    fused_g = jnp.take_along_axis(fused, fus_idx[:, :, None], axis=1)
+    embeds = jnp.where(is_fused[:, :, None], fused_g, gathered)
+    out_mask = j >= (L - n_real)[:, None]                # n+m real tokens
+    pos = jnp.where(out_mask, j - (L - n_real)[:, None], 0).astype(jnp.int32)
+    return embeds, out_mask, pos
+
+
+def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
+                              m: int):
+    @jax.jit
+    def step(params, opt_state, batch, demo_ids, demo_valid, rng):
+        def loss_fn(p):
+            wte = p["wte"]
+            fused = fused_embedding(p, fusion, wte, demo_ids, demo_valid,
+                                    m=m)
+            embeds = jnp.take(wte, batch, axis=0)
+            embeds = jnp.concatenate(
+                [embeds[:, :2], fused.astype(embeds.dtype), embeds[:, 2:]],
+                axis=1)
+            logits, _, _ = model.apply(
+                {"params": {k: v for k, v in p.items() if k != "fusion"}},
+                inputs_embeds=embeds, deterministic=False,
+                rngs={"dropout": rng})
+            labels = splice_labels(batch, m)
+            return shift_ce_loss(logits, labels)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return step
+
+
+def load_index_file(path: str) -> List[List[int]]:
+    with open(path) as f:
+        return [list(map(int, ln.split())) for ln in f.read().splitlines()
+                if ln.strip()]
+
+
+def make_prefill_factory(params, store: DemoStore,
+                         index_rows: List[List[int]], fusion: str, m: int,
+                         fusion_pad_len: int = 512):
+    """generation_eval hook: batch of query line-indices -> prefill fn."""
+
+    def factory(batch_rows: List[int]):
+        topk = np.asarray([index_rows[i] for i in batch_rows])
+
+        def prefill(ids, pad_mask, position_ids):
+            wte = params["wte"]
+            if fusion == "graphpooling":
+                d_ids, d_valid = store.gather(topk)
+                fused = fused_embedding(params, fusion, wte, d_ids, d_valid,
+                                        m=m)
+            else:
+                cat = store.concat_for_mlp(topk, fusion_pad_len)
+                fused = fused_embedding(params, fusion, wte,
+                                        jnp.asarray(cat), m=m)
+            return splice_prefill(wte, jnp.asarray(ids),
+                                  jnp.asarray(pad_mask), fused)
+        return prefill
+    return factory
+
+
+def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
+                    backbone_ckpt: Optional[str] = None,
+                    retrieval_dir: Optional[str] = None,
+                    generator_dir: Optional[str] = None,
+                    epochs: Optional[int] = None, seed: Optional[int] = None,
+                    dtype: str = "float32", eval_batch_size: int = 32,
+                    max_steps_per_epoch: Optional[int] = None,
+                    max_eval_queries: Optional[int] = None,
+                    ) -> GeneratorResult:
+    """Train the fused generator and evaluate the full RAG pipeline.
+
+    ``generator_dir`` holds train_index.gen (gt top-K demos per train
+    query); ``retrieval_dir`` holds {val,test}_index.gen from the
+    retriever. Defaults follow the annotate/retriever output layout.
+    """
+    gcfg = spec.generator
+    seed = gcfg.seed if seed is None else seed
+    epochs = gcfg.epochs if epochs is None else epochs
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.RandomState(seed)
+
+    generator_dir = generator_dir or os.path.join(resources_dir,
+                                                  "train_generator")
+    retrieval_dir = retrieval_dir or os.path.join(resources_dir,
+                                                  "retrieval_result")
+
+    tokenizer = Tokenizer.from_vocab_file(
+        os.path.join(resources_dir, "vocab.json"), spec.timestep,
+        with_mask_token=True)
+    train_lines = read_corpus_lines(
+        os.path.join(resources_dir, "train.link_prediction"))
+    val_lines = read_corpus_lines(
+        os.path.join(resources_dir, "val.link_prediction"))
+    val_gt = read_corpus_lines(
+        os.path.join(resources_dir, "val_gt.link_prediction"))
+    test_lines = read_corpus_lines(
+        os.path.join(resources_dir, "test.link_prediction"))
+    test_gt = read_corpus_lines(
+        os.path.join(resources_dir, "test_gt.link_prediction"))
+
+    examples = tokenizer.encode_batch(train_lines, max_len=spec.block_size)
+    store = DemoStore(examples, tokenizer.pad_id, top_k=gcfg.top_k)
+
+    train_index = load_index_file(os.path.join(generator_dir,
+                                               "train_index.gen"))
+    val_index = load_index_file(os.path.join(retrieval_dir, "val_index.gen"))
+    test_index = load_index_file(os.path.join(retrieval_dir,
+                                              "test_index.gen"))
+    if max_eval_queries:  # smoke-mode cap
+        val_lines, val_gt = val_lines[:max_eval_queries], val_gt[:max_eval_queries]
+        test_lines, test_gt = test_lines[:max_eval_queries], test_gt[:max_eval_queries]
+        val_index, test_index = (val_index[:max_eval_queries],
+                                 test_index[:max_eval_queries])
+
+    config = ModelConfig(vocab_size=len(tokenizer), n_layer=spec.n_layer,
+                         n_head=spec.n_head, n_embd=spec.n_embd, dtype=dtype)
+    model = GPT2LMModel(config)
+    rng, init_rng, fusion_rng = jax.random.split(rng, 3)
+    params = init_params(config, init_rng)
+    if backbone_ckpt is not None:
+        params = transfer_backbone(params, load_params(backbone_ckpt))
+    params = dict(params)
+    params["fusion"] = init_fusion_params(
+        fusion_rng, config, gcfg.fusion, m=gcfg.m,
+        fusion_pad_len=gcfg.fusion_pad_len)
+
+    steps_per_epoch = max(1, len(examples) // gcfg.batch_size)
+    schedule = epoch_cosine_schedule(gcfg.learning_rate, gcfg.warmup_epochs,
+                                     epochs, steps_per_epoch)
+    frozen_labels = None
+    if gcfg.freeze_backbone and backbone_ckpt is not None:
+        # only the fusion head trains (reference: utils/model.py:71-78 +
+        # tied lm_head on the frozen wte)
+        frozen_labels = {
+            k: jax.tree.map(
+                lambda _: "trainable" if k == "fusion" else "frozen", v)
+            for k, v in params.items()}
+    optimizer = make_optimizer(params, schedule,
+                               weight_decay=gcfg.weight_decay,
+                               frozen_labels=frozen_labels)
+    opt_state = optimizer.init(params)
+    train_step = make_generator_train_step(model, optimizer,
+                                           fusion=gcfg.fusion, m=gcfg.m)
+
+    node_vocab = tokenizer.node_vocab
+    fusion_pad = gcfg.fusion_pad_len
+
+    def evaluate(params, split: str) -> Dict:
+        lines, gt, index_rows = ((val_lines, val_gt, val_index)
+                                 if split == "val"
+                                 else (test_lines, test_gt, test_index))
+        factory = make_prefill_factory(params, store, index_rows,
+                                       gcfg.fusion, gcfg.m, fusion_pad)
+        backbone = {k: v for k, v in params.items() if k != "fusion"}
+        return generation_eval(model, backbone, tokenizer, lines, gt,
+                               node_vocab, split if split == "val" else "test",
+                               batch_size=eval_batch_size, with_recall=True,
+                               prefill_embed_fn_factory=factory)
+
+    best_score, best_params, best_epoch, counter = None, params, -1, 0
+    start = time.time()
+    n = len(examples)
+
+    for epoch in range(epochs):
+        order = np_rng.permutation(n)
+        # drop_last=True like the reference train loader
+        end = n - (n % gcfg.batch_size)
+        epoch_loss, nb = 0.0, 0
+        for s in range(0, end, gcfg.batch_size):
+            idx = order[s:s + gcfg.batch_size]
+            batch = pad_batch([examples[i] for i in idx], tokenizer.pad_id,
+                              multiple_of=64)
+            topk = np.asarray([train_index[i] for i in idx])
+            if gcfg.fusion == "graphpooling":
+                d_ids, d_valid = store.gather(topk)
+            else:
+                d_ids = jnp.asarray(store.concat_for_mlp(topk, fusion_pad))
+                d_valid = jnp.zeros((len(idx), 1), bool)  # unused
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(batch), d_ids, d_valid,
+                step_rng)
+            epoch_loss += float(loss)
+            nb += 1
+            if max_steps_per_epoch and nb >= max_steps_per_epoch:
+                break
+
+        val_metrics = evaluate(params, "val")
+        score = val_metrics["NDCG"]
+        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f", epoch,
+                    epoch_loss / max(1, nb), score)
+
+        if epoch > gcfg.warmup_epochs:
+            if best_score is None or score > best_score:
+                best_score, best_params, best_epoch, counter = (
+                    score, params, epoch, 0)
+                save_checkpoint(os.path.join(out_dir, "checkpoint-best"),
+                                best_params, config=config,
+                                meta={"epoch": epoch, "val_ndcg5": score,
+                                      "stage": "generator", "seed": seed})
+            else:
+                counter += 1
+                if counter >= gcfg.patience:
+                    logger.info("early stop at epoch %d", epoch)
+                    break
+
+    hours = (time.time() - start) / 3600
+    if best_epoch < 0:
+        best_params, best_epoch = params, epochs - 1
+    save_checkpoint(os.path.join(out_dir, "checkpoint-last"), params,
+                    config=config, meta={"stage": "generator", "seed": seed})
+
+    val_metrics = evaluate(best_params, "val")
+    test_metrics = evaluate(best_params, "test")
+    logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
+                test_metrics)
+    return GeneratorResult(best_epoch, val_metrics, test_metrics, hours,
+                           os.path.join(out_dir, "checkpoint-best"))

@@ -1,0 +1,107 @@
+"""Stage-4 generator: prefill splicing, demo store, and a train-step smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag4dyg_tpu.config import ModelConfig
+from rag4dyg_tpu.models import GPT2LMModel, init_params
+from rag4dyg_tpu.train.generator import (
+    DemoStore,
+    fused_embedding,
+    init_fusion_params,
+    make_generator_train_step,
+    splice_prefill,
+)
+from rag4dyg_tpu.train.state import linear_warmup_linear_decay, make_optimizer
+
+
+def test_splice_prefill_ragged_rows():
+    """Fused token must land after the 2nd real token of each left-padded
+    row, with pads staying left and positions re-derived."""
+    V, D, m = 11, 4, 1
+    rng = np.random.RandomState(0)
+    wte = jnp.asarray(rng.randn(V, D).astype(np.float32))
+    # rows with 5 and 3 real tokens, left-padded to L=6 with pad id 10
+    ids = np.array([[10, 1, 2, 3, 4, 5],
+                    [10, 10, 10, 6, 7, 8]], np.int32)
+    pad_mask = ids != 10
+    fused = jnp.asarray(rng.randn(2, m, D).astype(np.float32))
+
+    embeds, out_mask, pos = splice_prefill(wte, jnp.asarray(ids),
+                                           jnp.asarray(pad_mask), fused)
+    assert embeds.shape == (2, 7, D)
+    w = np.asarray(wte)
+    e = np.asarray(embeds)
+    # row 0: [pad, 1, 2, fused, 3, 4, 5]
+    np.testing.assert_allclose(e[0, 1], w[1])
+    np.testing.assert_allclose(e[0, 2], w[2])
+    np.testing.assert_allclose(e[0, 3], np.asarray(fused)[0, 0])
+    np.testing.assert_allclose(e[0, 4:], w[[3, 4, 5]])
+    # row 1: [pad, pad, pad, 6, 7, fused, 8]
+    np.testing.assert_allclose(e[1, 3], w[6])
+    np.testing.assert_allclose(e[1, 4], w[7])
+    np.testing.assert_allclose(e[1, 5], np.asarray(fused)[1, 0])
+    np.testing.assert_allclose(e[1, 6], w[8])
+
+    np.testing.assert_array_equal(np.asarray(out_mask),
+                                  [[False, True, True, True, True, True, True],
+                                   [False, False, False, True, True, True, True]])
+    np.testing.assert_array_equal(np.asarray(pos[0, 1:]), np.arange(6))
+    np.testing.assert_array_equal(np.asarray(pos[1, 3:]), np.arange(4))
+
+
+def test_demo_store_gather_and_concat():
+    pool = [[1, 2, 3], [4, 5], [6, 7, 8, 9]]
+    store = DemoStore(pool, pad_id=0, top_k=2, bucket=4)
+    ids, valid = store.gather(np.array([[2, 0], [1, 2]]))
+    assert ids.shape == (2, 2, 4)
+    np.testing.assert_array_equal(np.asarray(ids[0, 0]), [6, 7, 8, 9])
+    np.testing.assert_array_equal(np.asarray(valid[0, 1]),
+                                  [True, True, True, False])
+    cat = store.concat_for_mlp(np.array([[2, 0]]), pad_len=6)
+    np.testing.assert_array_equal(cat[0], [6, 7, 8, 9, 1, 2])
+
+
+def test_generator_train_step_updates_only_fusion():
+    """With the backbone frozen, one step must change fusion params and
+    nothing else, and the loss must be finite."""
+    cfg = ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                      n_positions=64)
+    model = GPT2LMModel(cfg)
+    params = dict(init_params(cfg, jax.random.PRNGKey(0)))
+    params["fusion"] = init_fusion_params(jax.random.PRNGKey(1), cfg,
+                                          "graphpooling", m=1)
+    frozen_labels = {
+        k: jax.tree.map(
+            lambda _: "trainable" if k == "fusion" else "frozen", v)
+        for k, v in params.items()}
+    optimizer = make_optimizer(params,
+                               linear_warmup_linear_decay(1e-2, 0, 10),
+                               frozen_labels=frozen_labels)
+    opt_state = optimizer.init(params)
+    step = make_generator_train_step(model, optimizer, fusion="graphpooling",
+                                     m=1)
+
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.randint(0, 32, (2, 8)), jnp.int32)
+    demo_ids = jnp.asarray(rng.randint(0, 32, (2, 3, 5)), jnp.int32)
+    demo_valid = jnp.ones((2, 3, 5), bool)
+
+    new_params, _, loss = step(params, opt_state, batch, demo_ids,
+                               demo_valid, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(new_params["fusion"]["kernel"]),
+                           np.asarray(params["fusion"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(new_params["wte"]),
+                                  np.asarray(params["wte"]))
+
+
+def test_fused_embedding_mlp_shape():
+    cfg = ModelConfig(vocab_size=16, n_layer=1, n_head=1, n_embd=4)
+    params = {"fusion": init_fusion_params(jax.random.PRNGKey(0), cfg, "mlp",
+                                           m=2, fusion_pad_len=8)}
+    wte = jnp.asarray(np.random.RandomState(0).randn(16, 4), jnp.float32)
+    toks = jnp.asarray(np.random.RandomState(1).randint(0, 16, (3, 8)))
+    out = fused_embedding(params, "mlp", wte, toks, m=2)
+    assert out.shape == (3, 2, 4)
