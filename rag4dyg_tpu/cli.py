@@ -1,0 +1,253 @@
+"""Command-line interface for the full pipeline.
+
+Replaces the reference's three argparse drivers + per-dataset shell
+launchers (reference: main_SimpleDyG.py / main_retriever.py /
+main_generator.py, scripts/**/*.sh) with one typed entry point whose
+per-dataset hyperparameters come from the registry in ``config.py``::
+
+    python -m rag4dyg_tpu.cli prepare        --dataset UCI_13 --csv ... --out runs/uci
+    python -m rag4dyg_tpu.cli annotate       --dataset UCI_13 --resources runs/uci
+    python -m rag4dyg_tpu.cli query-time     --dataset UCI_13 --csv ... --resources runs/uci
+    python -m rag4dyg_tpu.cli train-backbone --dataset UCI_13 --resources runs/uci --out runs/uci/backbone
+    python -m rag4dyg_tpu.cli train-retriever --dataset UCI_13 --resources runs/uci --out runs/uci/retriever
+    python -m rag4dyg_tpu.cli train-generator --dataset UCI_13 --resources runs/uci --out runs/uci/generator
+    python -m rag4dyg_tpu.cli pipeline       --dataset UCI_13 --csv ... --out runs/uci
+
+``pipeline`` chains every stage end-to-end (prepare → annotate →
+query-time → backbone → retriever → generator).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from rag4dyg_tpu.config import DATASETS, DatasetSpec
+
+
+def _spec(args) -> DatasetSpec:
+    import dataclasses
+    if args.dataset not in DATASETS:
+        sys.exit(f"unknown dataset {args.dataset!r}; known: {sorted(DATASETS)}")
+    spec = DATASETS[args.dataset]
+    if getattr(args, "smoke", False):
+        # tiny-dims end-to-end smoke: same code paths, minutes not hours
+        spec = dataclasses.replace(
+            spec, n_layer=2, n_head=2, n_embd=64, batch_size=16,
+            retriever=dataclasses.replace(spec.retriever, n_layer=2,
+                                          n_head=2, n_embd=64,
+                                          batch_size=16),
+            generator=dataclasses.replace(spec.generator, batch_size=16))
+    return spec
+
+
+def _train_caps(args) -> dict:
+    if getattr(args, "smoke", False):
+        return {"max_steps_per_epoch": 4, "max_eval_queries": 24}
+    return {}
+
+
+def _tokenizer(spec: DatasetSpec, resources: str, with_mask: bool = True):
+    from rag4dyg_tpu.data.vocab import Tokenizer
+    return Tokenizer.from_vocab_file(os.path.join(resources, "vocab.json"),
+                                     spec.timestep, with_mask_token=with_mask)
+
+
+def cmd_prepare(args):
+    from rag4dyg_tpu.data.serialize import prepare_dataset
+    spec = _spec(args)
+    splits = prepare_dataset(args.csv, args.resources, spec.timestep,
+                             dialog_split=spec.dialog_split,
+                             hepth_style=spec.hepth_style)
+    print(json.dumps({"train": len(splits.train_lines),
+                      "val": len(splits.val_lines),
+                      "test": len(splits.test_lines),
+                      "vocab": len(splits.vocab)}))
+
+
+def cmd_annotate(args):
+    from rag4dyg_tpu.pool.annotate import annotate_pool, write_annotation
+    spec = _spec(args)
+    ann = annotate_pool(args.resources, _tokenizer(spec, args.resources),
+                        threshold=spec.jaccard_threshold,
+                        neg_num=spec.neg_num, gt_topk=spec.gt_topk,
+                        max_positives=spec.max_positives, seed=args.seed or 0)
+    write_annotation(ann,
+                     os.path.join(args.resources, "train_retrieval"),
+                     os.path.join(args.resources, "train_generator"))
+    print(json.dumps({"pairs": int(len(ann.train_pairs)),
+                      "pool": int(ann.train_out_scores.shape[0])}))
+
+
+def cmd_query_time(args):
+    from rag4dyg_tpu.data.query_time import compute_query_times_csv
+    from rag4dyg_tpu.data.serialize import read_corpus_lines
+    spec = _spec(args)
+    train_lines = read_corpus_lines(
+        os.path.join(args.resources, "train.link_prediction"))
+    qt = compute_query_times_csv(args.csv, train_lines, spec.timestep,
+                                 spec.time_scale)
+    out = os.path.join(args.resources, "train_query_time.npy")
+    np.save(out, qt)
+    print(json.dumps({"n": int(len(qt)), "out": out}))
+
+
+def _node_features(spec: DatasetSpec, args):
+    if not getattr(args, "node_features", None):
+        return None
+    feats = np.load(args.node_features)
+    assert feats.shape[1] == spec.node_feature_dim, (
+        f"expected {spec.node_feature_dim}-d features, got {feats.shape}")
+    return feats
+
+
+def cmd_train_backbone(args):
+    from rag4dyg_tpu.train.backbone import train_backbone
+    spec = _spec(args)
+    res = train_backbone(spec, args.resources, args.out, epochs=args.epochs,
+                         seed=args.seed, dtype=args.dtype,
+                         node_features=_node_features(spec, args),
+                         **_train_caps(args))
+    print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
+                      "test": res.test_metrics,
+                      "checkpoint": res.checkpoint_dir}))
+
+
+def cmd_train_retriever(args):
+    from rag4dyg_tpu.train.retriever import train_retriever
+    spec = _spec(args)
+    res = train_retriever(spec, args.resources, args.out,
+                          backbone_ckpt=args.backbone, epochs=args.epochs,
+                          seed=args.seed, dtype=args.dtype,
+                          gen_out_dir=os.path.join(args.resources,
+                                                   "retrieval_result"),
+                          **_train_caps(args))
+    print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
+                      "test": res.test_metrics,
+                      "checkpoint": res.checkpoint_dir}))
+
+
+def cmd_train_generator(args):
+    from rag4dyg_tpu.train.generator import train_generator
+    spec = _spec(args)
+    res = train_generator(spec, args.resources, args.out,
+                          backbone_ckpt=args.backbone, epochs=args.epochs,
+                          seed=args.seed, dtype=args.dtype,
+                          **_train_caps(args))
+    print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
+                      "test": res.test_metrics,
+                      "checkpoint": res.checkpoint_dir}))
+
+
+def cmd_eval(args):
+    from rag4dyg_tpu.data.serialize import read_corpus_lines
+    from rag4dyg_tpu.eval.evaluate import generation_eval
+    from rag4dyg_tpu.models import GPT2LMModel
+    from rag4dyg_tpu.utils.checkpoint import load_config, load_params
+    spec = _spec(args)
+    config = load_config(args.checkpoint)
+    params = load_params(args.checkpoint)
+    model = GPT2LMModel(config)
+    tok = _tokenizer(spec, args.resources, with_mask=False)
+    if config.vocab_size != len(tok):  # checkpoint from a [MASK]-stage model
+        tok = _tokenizer(spec, args.resources, with_mask=True)
+        assert config.vocab_size == len(tok), (
+            f"checkpoint vocab {config.vocab_size} matches neither tokenizer")
+    lines = read_corpus_lines(
+        os.path.join(args.resources, f"{args.split}.link_prediction"))
+    gt = read_corpus_lines(
+        os.path.join(args.resources, f"{args.split}_gt.link_prediction"))
+    metrics = generation_eval(model, params, tok, lines, gt, tok.node_vocab,
+                              args.split, with_recall=True)
+    print(json.dumps(metrics))
+
+
+def cmd_pipeline(args):
+    _spec(args)  # fail fast on unknown dataset
+    cmd_prepare(args)
+    cmd_annotate(args)
+    cmd_query_time(args)
+
+    class A:  # stage-arg views with per-stage out dirs
+        pass
+
+    for stage, fn, extra in (
+            ("backbone", cmd_train_backbone, {}),
+            ("retriever", cmd_train_retriever,
+             {"backbone": os.path.join(args.out, "backbone",
+                                       "checkpoint-best")}),
+            ("generator", cmd_train_generator,
+             {"backbone": os.path.join(args.out, "backbone",
+                                       "checkpoint-best")})):
+        a = A()
+        a.dataset = args.dataset
+        a.resources = args.resources
+        a.out = os.path.join(args.out, stage)
+        a.epochs = args.epochs
+        a.seed = args.seed
+        a.dtype = args.dtype
+        a.smoke = getattr(args, "smoke", False)
+        a.node_features = getattr(args, "node_features", None)
+        for k, v in extra.items():
+            setattr(a, k, v)
+        fn(a)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser(prog="rag4dyg_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, csv=False, out=False, train=False):
+        sp.add_argument("--dataset", required=True)
+        sp.add_argument("--resources", default=None,
+                        help="prepared corpus directory")
+        if csv:
+            sp.add_argument("--csv", required=True, help="ml_*.csv path")
+        if out:
+            sp.add_argument("--out", required=True)
+        if train:
+            sp.add_argument("--epochs", type=int, default=None)
+            sp.add_argument("--dtype", default="float32",
+                            choices=["float32", "bfloat16"])
+            sp.add_argument("--backbone", default=None,
+                            help="backbone checkpoint dir for transfer")
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--node-features", default=None,
+                        help="node feature .npy for wte init")
+        sp.add_argument("--smoke", action="store_true",
+                        help="tiny-dims capped-steps end-to-end smoke run")
+
+    common(sub.add_parser("prepare"), csv=True)
+    common(sub.add_parser("annotate"))
+    common(sub.add_parser("query-time"), csv=True)
+    common(sub.add_parser("train-backbone"), out=True, train=True)
+    common(sub.add_parser("train-retriever"), out=True, train=True)
+    common(sub.add_parser("train-generator"), out=True, train=True)
+    ev = sub.add_parser("eval")
+    common(ev)
+    ev.add_argument("--checkpoint", required=True)
+    ev.add_argument("--split", default="test", choices=["val", "test"])
+    pipe = sub.add_parser("pipeline")
+    common(pipe, csv=True, out=True, train=True)
+
+    args = p.parse_args(argv)
+    if args.resources is None:
+        args.resources = (os.path.join(args.out, "resources")
+                          if getattr(args, "out", None) else "resources")
+    {"prepare": cmd_prepare, "annotate": cmd_annotate,
+     "query-time": cmd_query_time, "train-backbone": cmd_train_backbone,
+     "train-retriever": cmd_train_retriever,
+     "train-generator": cmd_train_generator, "eval": cmd_eval,
+     "pipeline": cmd_pipeline}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
