@@ -1,0 +1,70 @@
+"""L0 preprocessing golden parity: the dialog data_trans path is fully
+reproducible from committed inputs (all_data/dialog/dialog.csv ->
+all_data/dialog/15/ml_dialog.csv)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rag4dyg_tpu.data.preprocess import (
+    PREPROCESS_PARAMS,
+    PreprocessParams,
+    make_timestep_table,
+    slice_events,
+)
+
+
+def test_dialog_data_trans_golden(reference_path):
+    """Row-for-row parity up to equal-ts tie order: the reference sorted
+    with numpy quicksort whose tie permutation varies across numpy
+    versions (same documented delta as serialize.py), so compare the
+    canonically-sorted tables."""
+    raw = pd.read_csv(reference_path / "all_data/dialog/dialog.csv")
+    raw = raw.rename(columns={"user_id": "u", "item_id": "i",
+                              "ori_time": "ts"})
+    table = make_timestep_table(raw[["u", "i", "ts", "timestamp"]], 15,
+                                PREPROCESS_PARAMS["dialog"])
+
+    ref = pd.read_csv(reference_path / "all_data/dialog/15/ml_dialog.csv",
+                      index_col=0)
+    assert len(table) == len(ref)
+    key = ["ts", "timestamp", "u", "i"]
+    ours = table.sort_values(key, kind="stable").reset_index(drop=True)
+    gold = ref.sort_values(key, kind="stable").reset_index(drop=True)
+    for col in ("u", "i", "ts", "label", "timestamp"):
+        np.testing.assert_array_equal(ours[col].to_numpy(),
+                                      gold[col].to_numpy(), err_msg=col)
+    # idx is 1..N in emission order; check the contract, not the tie order
+    assert sorted(table["idx"]) == list(range(1, len(table) + 1))
+
+
+def test_slice_events_windows_and_dedup():
+    params = PreprocessParams(slice_len=10.0, start_offset=2.0, end_trim=3.0)
+    events = pd.DataFrame({
+        "u": [1, 2, 3, 2, 1, 4, 9],
+        "i": [2, 1, 4, 1, 5, 3, 9],
+        #      before-start, s0, s0, s0-dup(rev), s1, s1, after-end
+        "time": [1.0, 5.0, 8.0, 9.0, 14.0, 17.0, 98.0],
+    })
+    out = slice_events(events, params)
+    # start = 3.0, end = 95.0; event at 1.0 dropped, 98.0 dropped
+    assert out["timestamp"].tolist() == [0, 0, 1, 1]
+    # (2,1)@9 collapsed the (1,2)@5 pair, keeping the LAST occurrence
+    # (drop_duplicates preserves kept-row positions: (3,4)@8 stays first)
+    assert out.iloc[1][["u", "i"]].tolist() == [2, 1]
+    assert out.iloc[1]["ts"] == 9.0
+    assert [1, 2] not in out[["u", "i"]].values.tolist()
+
+
+def test_train_node_filter():
+    params = PreprocessParams(slice_len=1.0)  # val_gap=1 -> train < T-1
+    data = pd.DataFrame({
+        "u": [1, 2, 1, 7],
+        "i": [2, 3, 3, 1],
+        "ts": [0.0, 1.0, 2.0, 3.0],
+        "timestamp": [0, 0, 1, 2],
+    })
+    out = make_timestep_table(data, 2, params)
+    # node 7 unseen in train window (timestamp < 1) -> its row dropped
+    assert 7 not in set(out["u"]).union(out["i"])
+    assert out["idx"].tolist() == list(range(1, len(out) + 1))
