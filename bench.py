@@ -20,19 +20,50 @@ def bench_tpu(pool: np.ndarray, queries: np.ndarray) -> float:
     import jax
     from rag4dyg_tpu.pool.index import DenseIndex
 
-    index = DenseIndex(pool)
-    q = [jax.device_put(queries[s:s + BATCH])
-         for s in range(0, QUERIES, BATCH)]
-    index.topk(q[0], TOPK)  # compile
-    jax.block_until_ready(index.pool)
+    import functools
 
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        for qb in q:
-            index.topk(qb, TOPK)  # returns host arrays — each call syncs
-    dt = time.perf_counter() - t0
-    return reps * QUERIES / dt
+    import jax.numpy as jnp
+    from rag4dyg_tpu.ops.topk_pallas import fused_score_topk
+
+    index = DenseIndex(pool)
+    q = jax.device_put(queries)               # ship queries once
+    jax.block_until_ready(index.topk_device(q, TOPK))  # compile+pad pool
+    pool_dev, n = index._pallas_pool, index.n
+
+    # All reps inside ONE jitted scan whose carry ACCUMULATES the top
+    # score — the returned value proves every iteration executed (host-
+    # checkable as reps x row-0 top score), which matters because the
+    # remote-execution relay overlaps/reorders/memoizes loose dispatches
+    # and 0.0*x carries get constant-folded + DCE'd by XLA. Throughput is
+    # taken from the 600-reps minus 300-reps delta to cancel dispatch
+    # overheads; long runs (~0.8 s and ~1.6 s) swamp relay jitter.
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(q, p, reps):
+        def body(carry, _):
+            s, _ = fused_score_topk(q + carry * 1e-6, p, k=TOPK,
+                                    n_valid=n, normalize=True)
+            return carry + s[0, 0], None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return carry
+
+    rng = np.random.RandomState(1)
+
+    def timed(reps: int) -> float:
+        qx = jax.device_put(rng.randn(QUERIES, DIM).astype(np.float32))
+        jax.block_until_ready(run(qx, pool_dev, reps))       # compile+warm
+        qy = jax.device_put(rng.randn(QUERIES, DIM).astype(np.float32))
+        jax.block_until_ready(qy)
+        t0 = time.perf_counter()
+        v = float(run(qy, pool_dev, reps))
+        dt = time.perf_counter() - t0
+        assert v > 0.4 * reps, f"scan did not execute fully: carry={v}"
+        return dt
+
+    t300, t600 = timed(300), timed(600)
+    delta = t600 - t300
+    if delta > 0.5 * t300:
+        return 300 * QUERIES / delta
+    return 600 * QUERIES / t600  # fallback if deltas are noise-dominated
 
 
 def bench_reference(pool: np.ndarray, queries: np.ndarray) -> float:

@@ -63,6 +63,10 @@ def _topk_kernel(q_ref, p_ref, s_out, i_out, *, k: int, tile_n: int,
     p = p_ref[:]                                          # [TN, D]
     cos = jax.lax.dot_general(
         q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+        # HIGHEST: true-f32 multi-pass on the MXU — the default single
+        # bf16 pass perturbs scores ~1e-3 and reorders near-ties vs the
+        # reference's f32 cosine
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)               # [TB, TN]
     scores = (cos + 1.0) * 0.5
 
@@ -83,14 +87,20 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "n_valid", "tile_b", "tile_n",
-                                    "interpret"))
+                                    "interpret", "normalize"))
 def fused_score_topk(queries: jnp.ndarray, pool_normed: jnp.ndarray, *,
                      k: int, n_valid: int, tile_b: int = 128,
-                     tile_n: int = 512, interpret: bool = False
+                     tile_n: int = 512, interpret: bool = False,
+                     normalize: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k rescaled-cosine scores of normalized ``queries`` [B, D]
     against normalized ``pool_normed`` [N, D] (N, D already padded to tile
-    multiples; rows >= n_valid are padding). Returns ([B, k], [B, k])."""
+    multiples; rows >= n_valid are padding). Returns ([B, k], [B, k]).
+    ``normalize=True`` L2-normalizes the queries inside the same jit so a
+    call is one device dispatch."""
+    if normalize:
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
     B, D = queries.shape
     N = pool_normed.shape[0]
     assert N % tile_n == 0

@@ -34,7 +34,10 @@ def _normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 def _score_dense(queries: jnp.ndarray, pool_normed: jnp.ndarray
                  ) -> jnp.ndarray:
     q = _normalize(queries.astype(jnp.float32))
-    cos = jnp.dot(q, pool_normed.T, preferred_element_type=jnp.float32)
+    # HIGHEST: keep true-f32 cosine parity with the reference scorer
+    # (TPU's default single bf16 MXU pass perturbs scores ~1e-3)
+    cos = jnp.dot(q, pool_normed.T, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
     return (cos + 1.0) * 0.5
 
 
@@ -74,31 +77,36 @@ class DenseIndex:
         """[B, D] query embeddings -> [B, N] scores in [0, 1]."""
         return _score_dense(jnp.asarray(queries), self.pool)[:, : self.n]
 
+    def topk_device(self, queries, k: int,
+                    interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k (scores, indices) as device arrays — one dispatch, no
+        host sync; use for throughput-critical pipelined scoring."""
+        if self.mesh is None and self.use_pallas:
+            from rag4dyg_tpu.ops.topk_pallas import fused_score_topk
+
+            tile_n = 512
+            if self._pallas_pool is None:
+                pad = (-self.n) % tile_n
+                pool = self.pool
+                if pad:
+                    pool = jnp.concatenate(
+                        [pool, jnp.zeros((pad, self.dim), jnp.float32)],
+                        axis=0)
+                self._pallas_pool = pool
+            return fused_score_topk(jnp.asarray(queries, jnp.float32),
+                                    self._pallas_pool, k=k, n_valid=self.n,
+                                    tile_n=tile_n, interpret=interpret,
+                                    normalize=True)
+        if self.mesh is None:
+            return _topk_dense(jnp.asarray(queries), self.pool, k)
+        return _topk_sharded(jnp.asarray(queries), self.pool, k, self.mesh,
+                             self.shard_axis, self.n)
+
     def topk(self, queries, k: int,
              interpret: bool = False) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k (scores, indices) per query."""
-        if self.mesh is None:
-            if self.use_pallas:
-                from rag4dyg_tpu.ops.topk_pallas import fused_score_topk
-
-                tile_n = 512
-                if self._pallas_pool is None:
-                    pad = (-self.n) % tile_n
-                    pool = self.pool
-                    if pad:
-                        pool = jnp.concatenate(
-                            [pool, jnp.zeros((pad, self.dim), jnp.float32)],
-                            axis=0)
-                    self._pallas_pool = pool
-                q = _normalize(jnp.asarray(queries, jnp.float32))
-                s, i = fused_score_topk(q, self._pallas_pool, k=k,
-                                        n_valid=self.n, tile_n=tile_n,
-                                        interpret=interpret)
-                return np.asarray(s), np.asarray(i)
-            s, i = _topk_dense(jnp.asarray(queries), self.pool, k)
-            return np.asarray(s), np.asarray(i)
-        s, i = _topk_sharded(jnp.asarray(queries), self.pool, k, self.mesh,
-                             self.shard_axis, self.n)
+        """Top-k (scores, indices) per query, on host."""
+        s, i = self.topk_device(queries, k, interpret=interpret)
         return np.asarray(s), np.asarray(i)
 
 
