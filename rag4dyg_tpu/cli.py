@@ -167,6 +167,37 @@ def cmd_eval(args):
     print(json.dumps(metrics))
 
 
+def cmd_sweep(args):
+    """Seed sweep of one training stage + mean/std aggregation
+    (reference: scripts/train_generator/train_rag_graphpooling_*_seed.sh
+    runs 10 seeds and appends to aggregation CSVs)."""
+    from rag4dyg_tpu.utils.logging import aggregate_seed_results, append_result_row
+    stage_fns = {"backbone": cmd_train_backbone,
+                 "retriever": cmd_train_retriever,
+                 "generator": cmd_train_generator}
+    fn = stage_fns[args.stage]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    sweep_csv = os.path.join(args.out, "sweep_results.csv")
+    for seed in seeds:
+        import copy
+        a = copy.copy(args)
+        a.seed = seed
+        a.out = os.path.join(args.out, f"seed{seed}")
+        fn(a)
+        # each stage appended its own results.csv; merge the last row up
+        import csv as _csv
+        with open(os.path.join(a.out, "results.csv"), newline="") as f:
+            rows = list(_csv.DictReader(f))
+        append_result_row(sweep_csv, rows[-1])
+    with open(sweep_csv, newline="") as f:
+        import csv as _csv
+        header = _csv.DictReader(f).fieldnames or []
+    metric_cols = [c for c in header
+                   if c.startswith(("val_", "test_")) and c not in
+                   ("val_num_scored", "test_num_scored")]
+    print(json.dumps(aggregate_seed_results(sweep_csv, metric_cols)))
+
+
 def cmd_pipeline(args):
     _spec(args)  # fail fast on unknown dataset
     cmd_prepare(args)
@@ -237,6 +268,12 @@ def main(argv=None):
     ev.add_argument("--split", default="test", choices=["val", "test"])
     pipe = sub.add_parser("pipeline")
     common(pipe, csv=True, out=True, train=True)
+    sw = sub.add_parser("sweep")
+    common(sw, out=True, train=True)
+    sw.add_argument("--stage", required=True,
+                    choices=["backbone", "retriever", "generator"])
+    sw.add_argument("--seeds", default="42,0,1,2,3,4,5,6,7,8",
+                    help="comma-separated seed list (reference sweep set)")
 
     args = p.parse_args(argv)
     if args.resources is None:
@@ -246,7 +283,7 @@ def main(argv=None):
      "query-time": cmd_query_time, "train-backbone": cmd_train_backbone,
      "train-retriever": cmd_train_retriever,
      "train-generator": cmd_train_generator, "eval": cmd_eval,
-     "pipeline": cmd_pipeline}[args.cmd](args)
+     "sweep": cmd_sweep, "pipeline": cmd_pipeline}[args.cmd](args)
 
 
 if __name__ == "__main__":

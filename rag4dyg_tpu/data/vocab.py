@@ -78,6 +78,7 @@ class Tokenizer:
         self.bos_id = self._tok2id[SPECIAL_BOS]
         self.eos_id = self.bos_id
         self.mask_id = self._tok2id[SPECIAL_MASK] if with_mask_token else None
+        self._native = None  # lazily-built C++ bulk encoder (utils/native)
         self.his_id = self._tok2id[SPECIAL_HIS]
         self.ehis_id = self._tok2id[SPECIAL_EHIS]
         self.pre_id = self._tok2id[SPECIAL_PRE]
@@ -115,6 +116,18 @@ class Tokenizer:
 
     def encode_batch(self, lines: Sequence[str],
                      max_len: Optional[int] = None) -> List[List[int]]:
+        if len(lines) >= 512:  # amortize the native-encoder setup
+            if self._native is None:
+                try:
+                    from rag4dyg_tpu.utils.native import NativeEncoder
+                    self._native = NativeEncoder(self._id2tok)
+                except RuntimeError:
+                    self._native = False  # unavailable; Python path
+            if self._native:
+                try:
+                    return self._native.encode_batch(lines, max_len)
+                except KeyError:
+                    pass  # unknown token: re-raise from the Python path
         return [self.encode(ln, max_len) for ln in lines]
 
     def decode(self, ids: Iterable[int]) -> str:

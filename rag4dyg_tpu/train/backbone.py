@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import logging
 import os
 import time
@@ -41,6 +42,7 @@ from rag4dyg_tpu.train.state import (
     make_optimizer,
 )
 from rag4dyg_tpu.utils.checkpoint import save_checkpoint
+from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
 
 logger = logging.getLogger(__name__)
 
@@ -131,6 +133,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     counter = 0
     start = time.time()
     global_step = 0
+    runlog = RunLogger(out_dir, "backbone", config=spec)
 
     for epoch in range(epochs):
         epoch_loss, n_batches = 0.0, 0
@@ -152,6 +155,9 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f jaccard %.4f",
                     epoch, epoch_loss / max(1, n_batches), score,
                     val_metrics["jaccard"])
+        runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, n_batches),
+                                   "val_ndcg5": score,
+                                   "val_jaccard": val_metrics["jaccard"]})
 
         # stage-1 early stopping: ties save and reset (main_SimpleDyG.py:306-328)
         if best_score is None or score >= best_score:
@@ -178,7 +184,20 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                   batch_size=eval_batch_size)
     test_metrics = generation_eval(model, best_params, tokenizer, test_lines,
                                    test_gt, node_vocab, "test",
-                                   batch_size=eval_batch_size)
+                                   batch_size=eval_batch_size,
+                                   collect_generations=True)
+    generations = test_metrics.pop("generations", {})
+    # per-query generation dump for manual inspection
+    # (reference: utils/Evaluation_SimpleDyG.py:208-209)
+    with open(os.path.join(out_dir, "generations_test.json"), "w") as f:
+        json.dump(generations, f, indent=1)
+    append_result_row(os.path.join(out_dir, "results.csv"),
+                      {"stage": "backbone", "dataset": spec.name,
+                       "seed": seed, "best_epoch": best_epoch,
+                       "hours": round(hours, 4), **{f"val_{k}": v for k, v
+                                                    in val_metrics.items()},
+                       **{f"test_{k}": v for k, v in test_metrics.items()}})
+    runlog.close()
     logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
                 test_metrics)
     return StageResult(best_epoch, {"NDCG": best_score}, val_metrics,

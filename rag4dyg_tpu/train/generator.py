@@ -50,6 +50,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     save_checkpoint,
     transfer_backbone,
 )
+from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
 
 logger = logging.getLogger(__name__)
 
@@ -312,6 +313,7 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     best_score, best_params, best_epoch, counter = None, params, -1, 0
     start = time.time()
+    runlog = RunLogger(out_dir, "generator", config=gcfg)
     n = len(examples)
 
     for epoch in range(epochs):
@@ -342,6 +344,10 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         score = val_metrics["NDCG"]
         logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f", epoch,
                     epoch_loss / max(1, nb), score)
+        runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
+                                   "val_ndcg5": score,
+                                   "val_jaccard": val_metrics["jaccard"],
+                                   "val_recall5": val_metrics["R"]})
 
         if epoch > gcfg.warmup_epochs:
             if best_score is None or score > best_score:
@@ -365,6 +371,14 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     val_metrics = evaluate(best_params, "val")
     test_metrics = evaluate(best_params, "test")
+    append_result_row(os.path.join(out_dir, "results.csv"),
+                      {"stage": "generator", "dataset": spec.name,
+                       "seed": seed, "fusion": gcfg.fusion,
+                       "top_k": gcfg.top_k, "best_epoch": best_epoch,
+                       "hours": round(hours, 4),
+                       **{f"val_{k}": v for k, v in val_metrics.items()},
+                       **{f"test_{k}": v for k, v in test_metrics.items()}})
+    runlog.close()
     logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
                 test_metrics)
     return GeneratorResult(best_epoch, val_metrics, test_metrics, hours,

@@ -46,6 +46,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     save_checkpoint,
     transfer_backbone,
 )
+from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
 
 logger = logging.getLogger(__name__)
 
@@ -255,6 +256,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     best_score, best_params, best_epoch, counter = None, params, -1, 0
     last_params = params
     start = time.time()
+    runlog = RunLogger(out_dir, "retriever", config=rcfg)
 
     n_pairs = len(pairs)
     for epoch in range(epochs):
@@ -282,6 +284,9 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         score = val_metrics["hit@3"]
         logger.info("epoch %d | loss %.4f | val hit@3 %.4f", epoch,
                     epoch_loss / max(1, nb), score)
+        runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
+                                   "val_hit1": val_metrics["hit@1"],
+                                   "val_hit3": score})
 
         last_params = params
         if epoch > rcfg.warmup_epochs:  # reference skips epoch<=warmup
@@ -306,6 +311,13 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     test_metrics = evaluate(best_params, "test", write_best=True)
     val_metrics = evaluate(best_params, "val", write_best=True)
+    append_result_row(os.path.join(out_dir, "results.csv"),
+                      {"stage": "retriever", "dataset": spec.name,
+                       "seed": seed, "best_epoch": best_epoch,
+                       "hours": round(hours, 4),
+                       **{f"val_{k}": v for k, v in val_metrics.items()},
+                       **{f"test_{k}": v for k, v in test_metrics.items()}})
+    runlog.close()
     logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
                 test_metrics)
     return RetrieverResult(best_epoch, val_metrics, test_metrics, hours,

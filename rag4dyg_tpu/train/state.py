@@ -73,18 +73,26 @@ def epoch_cosine_schedule(base_lr: float, warmup_epochs: int,
 def make_optimizer(params, schedule: optax.Schedule, *,
                    weight_decay: float = 0.0, adam_epsilon: float = 1e-8,
                    max_grad_norm: float = 1.0,
-                   frozen_labels: Optional[Any] = None
+                   frozen_labels: Optional[Any] = None,
+                   accumulate_steps: int = 1
                    ) -> optax.GradientTransformation:
+    """AdamW stack; ``accumulate_steps > 1`` wraps it in optax.MultiSteps
+    (the reference's gradient_accumulation_steps loss-scaling + step
+    gating, reference: main_SimpleDyG.py:173-191)."""
     adamw = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(learning_rate=schedule, b1=0.9, b2=0.999,
                     eps=adam_epsilon, weight_decay=weight_decay,
                     mask=_no_decay_mask(params)),
     )
-    if frozen_labels is None:
-        return adamw
-    return optax.multi_transform(
-        {"trainable": adamw, "frozen": optax.set_to_zero()}, frozen_labels)
+    opt = adamw
+    if frozen_labels is not None:
+        opt = optax.multi_transform(
+            {"trainable": adamw, "frozen": optax.set_to_zero()},
+            frozen_labels)
+    if accumulate_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate_steps)
+    return opt
 
 
 def create_train_state(params, optimizer) -> TrainState:
