@@ -112,6 +112,8 @@ def cmd_train_backbone(args):
     res = train_backbone(spec, args.resources, args.out, epochs=args.epochs,
                          seed=args.seed, dtype=args.dtype,
                          node_features=_node_features(spec, args),
+                         save_every=getattr(args, "save_every", 0) or 0,
+                         resume=getattr(args, "resume", False),
                          **_train_caps(args))
     print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
                       "test": res.test_metrics,
@@ -250,6 +252,10 @@ def main(argv=None):
                             choices=["float32", "bfloat16"])
             sp.add_argument("--backbone", default=None,
                             help="backbone checkpoint dir for transfer")
+            sp.add_argument("--save-every", type=int, default=0,
+                            help="rotating step checkpoint every N epochs")
+            sp.add_argument("--resume", action="store_true",
+                            help="continue from latest step checkpoint")
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--node-features", default=None,
                         help="node feature .npy for wte init")

@@ -41,7 +41,14 @@ from rag4dyg_tpu.train.state import (
     linear_warmup_linear_decay,
     make_optimizer,
 )
-from rag4dyg_tpu.utils.checkpoint import save_checkpoint
+from rag4dyg_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_meta,
+    load_opt_state,
+    load_params,
+    rotate_checkpoints,
+    save_checkpoint,
+)
 from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
 
 logger = logging.getLogger(__name__)
@@ -92,11 +99,17 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                    node_features: Optional[np.ndarray] = None,
                    max_steps_per_epoch: Optional[int] = None,
                    max_eval_queries: Optional[int] = None,
+                   save_every: int = 0, save_total_limit: int = 2,
+                   resume: bool = False,
+                   stop_after_epoch: Optional[int] = None,
                    log_every: int = 50) -> StageResult:
+    """``save_every`` > 0 writes a rotating checkpoint-step<epoch> (with
+    optimizer state) every that many epochs; ``resume`` continues from
+    the latest one (reference: --should_continue + --save_total_limit,
+    utils/model.py:23-53, main_SimpleDyG.py:382-387)."""
     seed = spec.seed if seed is None else seed
     epochs = spec.epochs if epochs is None else epochs
-    rng = jax.random.PRNGKey(seed)
-    np_rng = np.random.RandomState(seed)
+    base_rng = jax.random.PRNGKey(seed)
 
     tokenizer = Tokenizer.from_vocab_file(
         os.path.join(resources_dir, "vocab.json"), spec.timestep,
@@ -117,7 +130,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     examples = tokenizer.encode_batch(train_lines, max_len=spec.block_size)
 
-    rng, init_rng = jax.random.split(rng)
+    init_rng = jax.random.fold_in(base_rng, 0)
     model, params = build_backbone(spec, tokenizer, init_rng, dtype=dtype,
                                    node_features=node_features)
 
@@ -128,6 +141,15 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     opt_state = optimizer.init(params)
     train_step = make_lm_train_step(model, optimizer)
 
+    start_epoch = 0
+    if resume:
+        latest = latest_checkpoint(out_dir)
+        if latest:
+            params = load_params(latest)
+            opt_state = load_opt_state(latest, opt_state)
+            start_epoch = load_meta(latest).get("epoch", -1) + 1
+            logger.info("resumed from %s at epoch %d", latest, start_epoch)
+
     node_vocab = tokenizer.node_vocab
     best_score, best_params, best_epoch = None, params, -1
     counter = 0
@@ -135,11 +157,14 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     global_step = 0
     runlog = RunLogger(out_dir, "backbone", config=spec)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
+        # per-epoch derived rngs so a resumed run replays the same stream
+        epoch_rng = jax.random.fold_in(base_rng, 1 + epoch)
+        np_rng = np.random.RandomState((seed + 7919 * (epoch + 1)) % 2**31)
         epoch_loss, n_batches = 0.0, 0
         for batch in iterate_batches(examples, spec.batch_size,
                                      tokenizer.pad_id, rng=np_rng):
-            rng, drop_rng = jax.random.split(rng)
+            epoch_rng, drop_rng = jax.random.split(epoch_rng)
             params, opt_state, loss = train_step(params, opt_state,
                                                  jnp.asarray(batch), drop_rng)
             epoch_loss += float(loss)
@@ -173,6 +198,16 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 logger.info("early stop at epoch %d (best %d)", epoch,
                             best_epoch)
                 break
+
+        if save_every and (epoch + 1) % save_every == 0:
+            save_checkpoint(
+                os.path.join(out_dir, f"checkpoint-step{epoch}"), params,
+                config=model.config, opt_state=opt_state,
+                meta={"epoch": epoch, "stage": "backbone", "seed": seed})
+            rotate_checkpoints(out_dir, save_total_limit)
+        if stop_after_epoch is not None and epoch >= stop_after_epoch:
+            logger.info("stopping after epoch %d as requested", epoch)
+            break
 
     hours = (time.time() - start) / 3600
     save_checkpoint(os.path.join(out_dir, "checkpoint-last"), params,
