@@ -147,14 +147,15 @@ def _serialize_eval_split(data: pd.DataFrame, history: pd.DataFrame,
     for user_id, user_data in data.groupby("u"):
         parts = [SPECIAL_BOS, SPECIAL_HIS, str(int(user_id))]
         user_time = int(user_data["timestamp"].unique().tolist()[0])
-        if hepth_style:
+        hist = None if hepth_style else history[history["u"] == user_id]
+        if hepth_style or len(hist) == 0:
+            # hepth always; others degrade to the time-only query for the
+            # rare ego with no prior history (reddit has a handful — the
+            # reference would crash there: int(NaN) at
+            # csv2resources.py:186-187, and its committed launcher never
+            # ran reddit/enron/wikiv2)
             parts.append(times[user_time - 1])
         else:
-            hist = history[history["u"] == user_id]
-            if len(hist) == 0:
-                raise ValueError(
-                    f"eval ego {user_id} has no history; only hepth-style "
-                    "datasets permit history-free queries")
             min_t = int(hist["timestamp"].min())
             max_t = int(hist["timestamp"].max())
             for t in range(min_t, max_t + 1):
