@@ -22,3 +22,5 @@ A from-scratch JAX/Flax/Pallas re-design of the capabilities of RAG4DyG
 __version__ = "0.1.0"
 
 from rag4dyg_tpu.config import DATASETS, DatasetSpec, ModelConfig  # noqa: F401
+from rag4dyg_tpu.data.serialize import prepare_dataset  # noqa: F401
+from rag4dyg_tpu.data.vocab import Tokenizer  # noqa: F401

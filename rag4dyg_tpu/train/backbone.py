@@ -50,6 +50,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
+from rag4dyg_tpu.utils.retry import retry_transient
 
 logger = logging.getLogger(__name__)
 
@@ -165,17 +166,17 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         for batch in iterate_batches(examples, spec.batch_size,
                                      tokenizer.pad_id, rng=np_rng):
             epoch_rng, drop_rng = jax.random.split(epoch_rng)
-            params, opt_state, loss = train_step(params, opt_state,
-                                                 jnp.asarray(batch), drop_rng)
+            params, opt_state, loss = retry_transient(
+                train_step, params, opt_state, jnp.asarray(batch), drop_rng)
             epoch_loss += float(loss)
             n_batches += 1
             global_step += 1
             if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
                 break
 
-        val_metrics = generation_eval(
-            model, params, tokenizer, val_lines, val_gt, node_vocab, "val",
-            batch_size=eval_batch_size)
+        val_metrics = retry_transient(
+            generation_eval, model, params, tokenizer, val_lines, val_gt,
+            node_vocab, "val", batch_size=eval_batch_size)
         score = val_metrics["NDCG"]
         logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f jaccard %.4f",
                     epoch, epoch_loss / max(1, n_batches), score,

@@ -51,6 +51,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     transfer_backbone,
 )
 from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
+from rag4dyg_tpu.utils.retry import retry_transient
 
 logger = logging.getLogger(__name__)
 
@@ -332,15 +333,15 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 d_ids = jnp.asarray(store.concat_for_mlp(topk, fusion_pad))
                 d_valid = jnp.zeros((len(idx), 1), bool)  # unused
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(batch), d_ids, d_valid,
-                step_rng)
+            params, opt_state, loss = retry_transient(
+                train_step, params, opt_state, jnp.asarray(batch), d_ids,
+                d_valid, step_rng)
             epoch_loss += float(loss)
             nb += 1
             if max_steps_per_epoch and nb >= max_steps_per_epoch:
                 break
 
-        val_metrics = evaluate(params, "val")
+        val_metrics = retry_transient(evaluate, params, "val")
         score = val_metrics["NDCG"]
         logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f", epoch,
                     epoch_loss / max(1, nb), score)

@@ -47,6 +47,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     transfer_backbone,
 )
 from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
+from rag4dyg_tpu.utils.retry import retry_transient
 
 logger = logging.getLogger(__name__)
 
@@ -270,9 +271,10 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             a, p, n = (pad_batch(col, tokenizer.pad_id, length=L)
                        for col in rows)
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss, cl, aug = train_step(
-                params, opt_state, jnp.asarray(a), jnp.asarray(p),
-                jnp.asarray(n), jnp.asarray(query_times[idx[:, 0]]),
+            params, opt_state, loss, cl, aug = retry_transient(
+                train_step, params, opt_state, jnp.asarray(a),
+                jnp.asarray(p), jnp.asarray(n),
+                jnp.asarray(query_times[idx[:, 0]]),
                 jnp.asarray(query_times[idx[:, 1]]),
                 jnp.asarray(query_times[idx[:, 2]]), step_rng)
             epoch_loss += float(loss)
@@ -280,7 +282,8 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             if max_steps_per_epoch and nb >= max_steps_per_epoch:
                 break
 
-        val_metrics = evaluate(params, "val", write_best=False)
+        val_metrics = retry_transient(evaluate, params, "val",
+                                       write_best=False)
         score = val_metrics["hit@3"]
         logger.info("epoch %d | loss %.4f | val hit@3 %.4f", epoch,
                     epoch_loss / max(1, nb), score)
