@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 from rag4dyg_tpu.eval.metrics import jaccard, ndcg_k, recall_k
 from rag4dyg_tpu.ops.decode import greedy_decode
 

@@ -36,9 +36,6 @@ add_remaining_self_loops — the committed configs all use gnn_layers=1):
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

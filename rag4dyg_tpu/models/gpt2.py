@@ -28,7 +28,6 @@ Parity notes (deliberate reference-quirk reproductions):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn

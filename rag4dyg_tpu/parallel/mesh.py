@@ -22,7 +22,7 @@ pure overhead; the scaling pressure is on the *pool* axis instead, which
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ batched KV-cache decoder instead of a per-sample re-forward loop.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import logging
 import os

@@ -14,7 +14,7 @@ import hashlib
 import os
 import subprocess
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
