@@ -70,8 +70,15 @@ class RetrieverResult:
 def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
                               temperature: float, lambda_decay: float,
                               eta: float, gamma: float, mask_token: int):
+    """The triple batch is gathered ON DEVICE from the resident padded
+    pool — each step ships only [B, 3] indices + times to the device
+    instead of three [B, L] token arrays (the host->device transfer was
+    the wall-clock bottleneck through the remote tunnel)."""
     @jax.jit
-    def step(params, opt_state, anchor, pos, neg, a_t, p_t, n_t, rng):
+    def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng):
+        anchor = jnp.take(pool_ids, idx[:, 0], axis=0)
+        pos = jnp.take(pool_ids, idx[:, 1], axis=0)
+        neg = jnp.take(pool_ids, idx[:, 2], axis=0)
         drop_rng, aug_rng = jax.random.split(rng)
 
         def loss_fn(p):
@@ -98,31 +105,61 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
     return step
 
 
-def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
-                 lines: List[str], *, block_size: int = 512,
-                 batch_size: int = 64, bucket: int = 64) -> np.ndarray:
-    """Mean-pooled hidden-state embeddings for a list of (history) lines."""
-    examples = tokenizer.encode_batch(lines, max_len=block_size)
+def pad_to_length(examples, pad_id: int, length: int) -> np.ndarray:
+    out = np.full((len(examples), length), pad_id, np.int32)
+    for i, s in enumerate(examples):
+        out[i, : len(s)] = s[:length]
+    return out
 
+
+def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
+                 lines: Optional[List[str]] = None, *,
+                 ids_array: Optional[jnp.ndarray] = None,
+                 block_size: int = 512, length: Optional[int] = None,
+                 batch_size: int = 64, bucket: int = 64) -> np.ndarray:
+    """Mean-pooled hidden-state embeddings for (history) lines.
+
+    Pass ``ids_array`` (a device-resident padded [N, L] id matrix) to
+    skip tokenization and host->device transfer entirely; otherwise
+    ``lines`` are tokenized and padded (to ``length`` if given, else
+    per-batch buckets)."""
     @jax.jit
     def encode(ids):
         _, h, _ = model.apply({"params": params}, ids, deterministic=True)
         return jnp.mean(h, axis=1)
 
     out = []
+    if ids_array is not None:
+        n = ids_array.shape[0]
+        for start in range(0, n, batch_size):
+            chunk = jax.lax.dynamic_slice_in_dim(
+                ids_array, start, min(batch_size, n - start), axis=0)
+            out.append(np.asarray(encode(chunk)))
+        return np.concatenate(out, axis=0)
+
+    # left-truncate (reference truncation side) to the fixed length when
+    # one is forced, so pad_to_length never right-truncates
+    examples = tokenizer.encode_batch(
+        lines, max_len=block_size if length is None else min(block_size,
+                                                             length))
     for start in range(0, len(examples), batch_size):
         chunk = examples[start:start + batch_size]
-        batch = pad_batch(chunk, tokenizer.pad_id, multiple_of=bucket)
+        if length is not None:
+            batch = pad_to_length(chunk, tokenizer.pad_id, length)
+        else:
+            batch = pad_batch(chunk, tokenizer.pad_id, multiple_of=bucket)
         out.append(np.asarray(encode(jnp.asarray(batch))))
     return np.concatenate(out, axis=0)
 
 
 def score_pool(model: GPT2LMModel, params, tokenizer: Tokenizer,
                query_lines: List[str], index: DenseIndex, *,
-               block_size: int = 512, batch_size: int = 32) -> np.ndarray:
+               block_size: int = 512, length: Optional[int] = None,
+               batch_size: int = 32) -> np.ndarray:
     """[n_queries, n_pool] rescaled-cosine scores."""
     q = embed_corpus(model, params, tokenizer, query_lines,
-                     block_size=block_size, batch_size=batch_size)
+                     block_size=block_size, length=length,
+                     batch_size=batch_size)
     return np.asarray(index.score(q))
 
 
@@ -241,14 +278,22 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     gen_out_dir = gen_out_dir or os.path.join(out_dir, "retrieval_result")
 
+    # device-resident padded pool: per-step transfers shrink to [B, 3]
+    # indices, every encode shares ONE compiled shape, and the per-epoch
+    # pool embedding never re-uploads tokens
+    pool_len = min(spec.block_size,
+                   -(-max(len(s) for s in pool_examples) // 64) * 64)
+    pool_dev = jnp.asarray(pad_to_length(pool_examples, tokenizer.pad_id,
+                                         pool_len))
+
     def evaluate(params, split: str, write_best: bool) -> Dict:
         lines = val_lines if split == "val" else test_lines
         gt = val_gt if split == "val" else test_gt
-        pool_emb = embed_corpus(model, params, tokenizer, pool_lines,
-                                block_size=spec.block_size)
+        pool_emb = embed_corpus(model, params, tokenizer,
+                                ids_array=pool_dev)
         index = DenseIndex(pool_emb)
         scores = score_pool(model, params, tokenizer, lines, index,
-                            block_size=spec.block_size,
+                            block_size=spec.block_size, length=pool_len,
                             batch_size=eval_batch_size)
         if write_best:
             write_gen_files(scores, gen_out_dir, split)
@@ -264,16 +309,10 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
         for s in range(0, n_pairs, rcfg.batch_size):
-            idx = pairs[order[s:s + rcfg.batch_size]]
-            rows = [[pool_examples[i] for i in idx[:, c]] for c in range(3)]
-            max_len = max(len(sq) for col in rows for sq in col)
-            L = -(-max_len // 64) * 64  # one bucket for all three columns
-            a, p, n = (pad_batch(col, tokenizer.pad_id, length=L)
-                       for col in rows)
+            idx = pairs[order[s:s + rcfg.batch_size]].astype(np.int32)
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, cl, aug = retry_transient(
-                train_step, params, opt_state, jnp.asarray(a),
-                jnp.asarray(p), jnp.asarray(n),
+                train_step, params, opt_state, pool_dev, jnp.asarray(idx),
                 jnp.asarray(query_times[idx[:, 0]]),
                 jnp.asarray(query_times[idx[:, 1]]),
                 jnp.asarray(query_times[idx[:, 2]]), step_rng)
