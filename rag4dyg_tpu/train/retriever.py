@@ -112,6 +112,34 @@ def pad_to_length(examples, pad_id: int, length: int) -> np.ndarray:
     return out
 
 
+def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
+                            temperature: float, lambda_decay: float,
+                            eta: float, gamma: float, mask_token: int):
+    """Whole-epoch ``lax.scan`` over the step batches: ONE device dispatch
+    per epoch (plus one for any remainder batch) instead of one per step —
+    through a ~30ms-latency remote tunnel this is the difference between
+    seconds and minutes per epoch."""
+    step = make_retriever_train_step(
+        model, optimizer, alpha=alpha, temperature=temperature,
+        lambda_decay=lambda_decay, eta=eta, gamma=gamma,
+        mask_token=mask_token)
+
+    @jax.jit
+    def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs):
+        # idx_all: [S, B, 3]; times [S, B]; rngs [S] keys
+        def body(carry, xs):
+            params, opt_state = carry
+            idx, at, pt, nt, rng = xs
+            # nested jit inlines under the outer trace
+            params, opt_state, loss, _, _ = step(
+                params, opt_state, pool_ids, idx, at, pt, nt, rng)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_all, a_t, p_t, n_t, rngs))
+        return params, opt_state, losses.sum()
+    return epoch, step
+
+
 def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
                  lines: Optional[List[str]] = None, *,
                  ids_array: Optional[jnp.ndarray] = None,
@@ -271,7 +299,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     opt_state = optimizer.init(params)
     # the reference masks token vocab_size-1, which after the [MASK] resize
     # IS the mask token id (modeling_rag.py:790)
-    train_step = make_retriever_train_step(
+    epoch_fn, train_step = make_retriever_epoch_fn(
         model, optimizer, alpha=rcfg.alpha, temperature=rcfg.temperature,
         lambda_decay=rcfg.lambda_decay, eta=rcfg.eta, gamma=rcfg.gamma,
         mask_token=len(tokenizer) - 1)
@@ -305,21 +333,35 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     runlog = RunLogger(out_dir, "retriever", config=rcfg)
 
     n_pairs = len(pairs)
+    B = rcfg.batch_size
     for epoch in range(epochs):
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
-        for s in range(0, n_pairs, rcfg.batch_size):
-            idx = pairs[order[s:s + rcfg.batch_size]].astype(np.int32)
+        n_full = n_pairs // B
+        if max_steps_per_epoch:
+            n_full = min(n_full, max_steps_per_epoch)
+        if n_full:
+            idx_all = pairs[order[: n_full * B]].astype(np.int32)
+            idx_all = idx_all.reshape(n_full, B, 3)
+            times = query_times[idx_all]                  # [S, B, 3]
+            rng, epoch_rng = jax.random.split(rng)
+            rngs = jax.random.split(epoch_rng, n_full)
+            params, opt_state, loss_sum = retry_transient(
+                epoch_fn, params, opt_state, pool_dev, jnp.asarray(idx_all),
+                jnp.asarray(times[..., 0]), jnp.asarray(times[..., 1]),
+                jnp.asarray(times[..., 2]), rngs)
+            epoch_loss += float(loss_sum)
+            nb += n_full
+        rem = pairs[order[n_full * B:]].astype(np.int32)
+        if len(rem) and not max_steps_per_epoch:  # drop_last=False tail
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss, cl, aug = retry_transient(
-                train_step, params, opt_state, pool_dev, jnp.asarray(idx),
-                jnp.asarray(query_times[idx[:, 0]]),
-                jnp.asarray(query_times[idx[:, 1]]),
-                jnp.asarray(query_times[idx[:, 2]]), step_rng)
+            params, opt_state, loss, _, _ = retry_transient(
+                train_step, params, opt_state, pool_dev, jnp.asarray(rem),
+                jnp.asarray(query_times[rem[:, 0]]),
+                jnp.asarray(query_times[rem[:, 1]]),
+                jnp.asarray(query_times[rem[:, 2]]), step_rng)
             epoch_loss += float(loss)
             nb += 1
-            if max_steps_per_epoch and nb >= max_steps_per_epoch:
-                break
 
         val_metrics = retry_transient(evaluate, params, "val",
                                        write_best=False)
