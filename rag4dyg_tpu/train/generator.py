@@ -183,6 +183,33 @@ def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
     return step
 
 
+def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int):
+    """Whole-epoch ``lax.scan`` for graphpooling fusion: query rows AND
+    demonstrations are gathered on device from the resident pool, so each
+    epoch ships only [S, B] row indices + [S, B, K] demo indices (one
+    dispatch instead of one per step — the tunnel-latency fix, same shape
+    as the retriever's epoch scan)."""
+    step = make_generator_train_step(model, optimizer,
+                                     fusion="graphpooling", m=m)
+
+    @jax.jit
+    def epoch(params, opt_state, pool_ids, pool_valid, rows_all, topk_all,
+              rngs):
+        def body(carry, xs):
+            params, opt_state = carry
+            rows, tk, rng = xs
+            batch = jnp.take(pool_ids, rows, axis=0)          # [B, S]
+            d_ids = jnp.take(pool_ids, tk, axis=0)            # [B, K, S]
+            d_valid = jnp.take(pool_valid, tk, axis=0)
+            params, opt_state, loss = step(params, opt_state, batch,
+                                           d_ids, d_valid, rng)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (rows_all, topk_all, rngs))
+        return params, opt_state, losses.sum()
+    return epoch, step
+
+
 def load_index_file(path: str) -> List[List[int]]:
     with open(path) as f:
         return [list(map(int, ln.split())) for ln in f.read().splitlines()
@@ -294,8 +321,15 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                weight_decay=gcfg.weight_decay,
                                frozen_labels=frozen_labels)
     opt_state = optimizer.init(params)
-    train_step = make_generator_train_step(model, optimizer,
-                                           fusion=gcfg.fusion, m=gcfg.m)
+    if gcfg.fusion == "graphpooling":
+        epoch_fn, train_step = make_generator_epoch_fn(model, optimizer,
+                                                       m=gcfg.m)
+        topk_table = np.asarray([r[: gcfg.top_k] for r in train_index],
+                                np.int32)
+    else:
+        epoch_fn = None
+        train_step = make_generator_train_step(model, optimizer,
+                                               fusion=gcfg.fusion, m=gcfg.m)
 
     node_vocab = tokenizer.node_vocab
     fusion_pad = gcfg.fusion_pad_len
@@ -317,29 +351,38 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     runlog = RunLogger(out_dir, "generator", config=gcfg)
     n = len(examples)
 
+    B = gcfg.batch_size
     for epoch in range(epochs):
         order = np_rng.permutation(n)
         # drop_last=True like the reference train loader
-        end = n - (n % gcfg.batch_size)
         epoch_loss, nb = 0.0, 0
-        for s in range(0, end, gcfg.batch_size):
-            idx = order[s:s + gcfg.batch_size]
-            batch = pad_batch([examples[i] for i in idx], tokenizer.pad_id,
-                              multiple_of=64)
-            topk = np.asarray([train_index[i] for i in idx])
-            if gcfg.fusion == "graphpooling":
-                d_ids, d_valid = store.gather(topk)
-            else:
-                d_ids = jnp.asarray(store.concat_for_mlp(topk, fusion_pad))
+        n_full = n // B
+        if max_steps_per_epoch:
+            n_full = min(n_full, max_steps_per_epoch)
+        if epoch_fn is not None and n_full:
+            rows_all = order[: n_full * B].astype(np.int32).reshape(n_full, B)
+            topk_all = topk_table[rows_all]               # [S, B, K]
+            rng, epoch_rng = jax.random.split(rng)
+            rngs = jax.random.split(epoch_rng, n_full)
+            params, opt_state, loss_sum = retry_transient(
+                epoch_fn, params, opt_state, store.ids, store.valid,
+                jnp.asarray(rows_all), jnp.asarray(topk_all), rngs)
+            epoch_loss += float(loss_sum)
+            nb += n_full
+        elif n_full:  # mlp fusion keeps the per-step path (host concat)
+            for s in range(0, n_full * B, B):
+                idx = order[s:s + B]
+                batch = pad_batch([examples[i] for i in idx],
+                                  tokenizer.pad_id, multiple_of=64)
+                d_ids = jnp.asarray(store.concat_for_mlp(
+                    [train_index[i] for i in idx], fusion_pad))
                 d_valid = jnp.zeros((len(idx), 1), bool)  # unused
-            rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss = retry_transient(
-                train_step, params, opt_state, jnp.asarray(batch), d_ids,
-                d_valid, step_rng)
-            epoch_loss += float(loss)
-            nb += 1
-            if max_steps_per_epoch and nb >= max_steps_per_epoch:
-                break
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss = retry_transient(
+                    train_step, params, opt_state, jnp.asarray(batch),
+                    d_ids, d_valid, step_rng)
+                epoch_loss += float(loss)
+                nb += 1
 
         val_metrics = retry_transient(evaluate, params, "val")
         score = val_metrics["NDCG"]
