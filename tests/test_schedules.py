@@ -1,0 +1,40 @@
+"""LR schedules must match the reference formulas at epoch boundaries."""
+
+import math
+
+import numpy as np
+
+from rag4dyg_tpu.train.state import (
+    epoch_cosine_schedule,
+    linear_warmup_linear_decay,
+)
+
+
+def _reference_adjust_lr(base, epoch, warmup, total):
+    """reference: train/train_retriever.py:120-130."""
+    if epoch < warmup:
+        return base * epoch / warmup if warmup else base
+    return base * 0.5 * (1.0 + math.cos(math.pi * (epoch - warmup)
+                                        / (total - warmup)))
+
+
+def test_epoch_cosine_matches_reference():
+    base, warmup, total, spe = 1e-3, 5, 50, 7
+    sched = epoch_cosine_schedule(base, warmup, total, spe)
+    for epoch in range(total):
+        ours = float(sched(epoch * spe))
+        ref = _reference_adjust_lr(base, epoch, warmup, total)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=base * 1e-6,
+                                   err_msg=f"e{epoch}")  # f32 schedule
+
+
+def test_linear_warmup_linear_decay():
+    """HF get_linear_schedule_with_warmup semantics
+    (reference: utils/model.py:88-92 via transformers)."""
+    sched = linear_warmup_linear_decay(1.0, warmup_steps=10, total_steps=110)
+    np.testing.assert_allclose(float(sched(0)), 0.0)
+    np.testing.assert_allclose(float(sched(5)), 0.5)
+    np.testing.assert_allclose(float(sched(10)), 1.0)
+    np.testing.assert_allclose(float(sched(60)), 0.5)
+    np.testing.assert_allclose(float(sched(110)), 0.0)
+    assert float(sched(200)) == 0.0  # clamped past the end
