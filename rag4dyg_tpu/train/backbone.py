@@ -8,10 +8,11 @@ early stopping on val NDCG@5 (a tie with the best score *saves and resets*
 the patience counter — stage-1 semantics differ from the later stages),
 best model kept as checkpoint-best plus a rolling checkpoint-last.
 
-TPU-first deltas from the reference: batches are length-bucketed so XLA
-compiles a handful of programs instead of one per batch shape, the train
-step is one jit-compiled fused update, and validation decoding runs the
-batched KV-cache decoder instead of a per-sample re-forward loop.
+TPU-first deltas from the reference: the padded corpus is device-resident
+and each epoch runs as ONE jitted lax.scan dispatch gathering its batches
+on device (vs one host->device round-trip per batch), and validation
+decoding runs the batched KV-cache decoder instead of a per-sample
+re-forward loop.
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ import numpy as np
 import optax
 
 from rag4dyg_tpu.config import DatasetSpec, ModelConfig
-from rag4dyg_tpu.data.batching import iterate_batches
 from rag4dyg_tpu.data.serialize import read_corpus_lines
 from rag4dyg_tpu.data.vocab import Tokenizer
 from rag4dyg_tpu.eval.evaluate import generation_eval
@@ -77,6 +77,26 @@ def make_lm_train_step(model: GPT2LMModel, optimizer):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
     return step
+
+
+def make_lm_epoch_fn(model: GPT2LMModel, optimizer):
+    """Whole-epoch ``lax.scan``: batches gather on device from the
+    resident padded corpus, one dispatch per epoch (see the retriever's
+    twin for the tunnel-latency rationale)."""
+    step = make_lm_train_step(model, optimizer)
+
+    @jax.jit
+    def epoch(params, opt_state, corpus_ids, rows_all, rngs):
+        def body(carry, xs):
+            params, opt_state = carry
+            rows, rng = xs
+            batch = jnp.take(corpus_ids, rows, axis=0)
+            params, opt_state, loss = step(params, opt_state, batch, rng)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (rows_all, rngs))
+        return params, opt_state, losses.sum()
+    return epoch, step
 
 
 def build_backbone(spec: DatasetSpec, tokenizer: Tokenizer,
@@ -139,7 +159,15 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                           steps_per_epoch * epochs)
     optimizer = make_optimizer(params, schedule, weight_decay=0.0)
     opt_state = optimizer.init(params)
-    train_step = make_lm_train_step(model, optimizer)
+    epoch_fn, _ = make_lm_epoch_fn(model, optimizer)
+
+    # device-resident padded corpus for on-device batch gathers
+    corpus_len = -(-max(len(s) for s in examples) // 64) * 64
+    corpus_np = np.full((len(examples), corpus_len), tokenizer.pad_id,
+                        np.int32)
+    for i, s in enumerate(examples):
+        corpus_np[i, : len(s)] = s
+    corpus_dev = jnp.asarray(corpus_np)
 
     start_epoch = 0
     if resume:
@@ -157,21 +185,22 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     global_step = 0
     runlog = RunLogger(out_dir, "backbone", config=spec)
 
+    B = spec.batch_size
     for epoch in range(start_epoch, epochs):
         # per-epoch derived rngs so a resumed run replays the same stream
         epoch_rng = jax.random.fold_in(base_rng, 1 + epoch)
         np_rng = np.random.RandomState((seed + 7919 * (epoch + 1)) % 2**31)
-        epoch_loss, n_batches = 0.0, 0
-        for batch in iterate_batches(examples, spec.batch_size,
-                                     tokenizer.pad_id, rng=np_rng):
-            epoch_rng, drop_rng = jax.random.split(epoch_rng)
-            params, opt_state, loss = retry_transient(
-                train_step, params, opt_state, jnp.asarray(batch), drop_rng)
-            epoch_loss += float(loss)
-            n_batches += 1
-            global_step += 1
-            if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
-                break
+        order = np_rng.permutation(len(examples))
+        n_full = len(examples) // B  # drop_last=True (reference loader)
+        if max_steps_per_epoch:
+            n_full = min(n_full, max_steps_per_epoch)
+        rows_all = order[: n_full * B].astype(np.int32).reshape(n_full, B)
+        rngs = jax.random.split(epoch_rng, n_full)
+        params, opt_state, loss_sum = retry_transient(
+            epoch_fn, params, opt_state, corpus_dev, jnp.asarray(rows_all),
+            rngs)
+        epoch_loss, n_batches = float(loss_sum), n_full
+        global_step += n_full
 
         val_metrics = retry_transient(
             generation_eval, model, params, tokenizer, val_lines, val_gt,
