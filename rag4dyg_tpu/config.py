@@ -66,6 +66,11 @@ class RetrieverConfig:
     alpha: float = 1.0          # weight on the info-NCE augmentation loss
     eta: float = 0.8            # crop keep-fraction
     gamma: float = 0.4          # mask fraction
+    # sequence-embedding pooling: "masked" averages real tokens only
+    # (deterministic per line — the TPU-native default); "padded" averages
+    # the full padded row like the reference's torch.mean (whose result
+    # depends on batch composition there, and on the fixed pad length here)
+    pool_mode: str = "masked"
     lambda_decay: float = 1e-4  # time-decay rate in CLtime loss
     temperature: float = 0.1
     batch_size: int = 64

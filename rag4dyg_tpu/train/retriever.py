@@ -12,11 +12,14 @@ train/train_retriever.py:309-327). The best model writes the ranked
 {val,test}_{index,score}.gen files the generator consumes.
 
 TPU-first deltas: all three encoder passes and both augmentation passes run
-inside one jit-compiled train step; pool scoring is the DenseIndex matmul
-(optionally mesh-sharded) instead of a host loop; the reference's per-batch
-max-length padding becomes bucketed padding (the mean-pool divisor is the
-padded length in both designs — batch-composition-dependent there, bucket-
-dependent here; self-consistent either way).
+inside one jit-compiled train step, and whole epochs run as a single
+lax.scan dispatch over the device-resident padded pool; pool scoring is
+the DenseIndex matmul (optionally mesh-sharded) instead of a host loop.
+Sequence embeddings default to MASKED mean pooling (real tokens only,
+deterministic per line) — the reference's torch.mean over the padded batch
+makes embeddings depend on batch composition; set
+``RetrieverConfig.pool_mode="padded"`` to reproduce that behavior against
+the fixed pool padding.
 """
 
 from __future__ import annotations
@@ -67,9 +70,21 @@ class RetrieverResult:
     checkpoint_dir: str
 
 
+def mean_pool(h: jnp.ndarray, ids: jnp.ndarray, pad_id: int,
+              mode: str) -> jnp.ndarray:
+    """Sequence embedding from per-token hidden states. "masked": average
+    real tokens only; "padded": average the whole (padded) row
+    (reference torch.mean semantics, train/train_retriever.py:183-185)."""
+    if mode == "padded":
+        return jnp.mean(h, axis=1)
+    mask = (ids != pad_id)[..., None].astype(h.dtype)
+    return (h * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
+
+
 def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
                               temperature: float, lambda_decay: float,
-                              eta: float, gamma: float, mask_token: int):
+                              eta: float, gamma: float, mask_token: int,
+                              pad_id: int, pool_mode: str = "masked"):
     """The triple batch is gathered ON DEVICE from the resident padded
     pool — each step ships only [B, 3] indices + times to the device
     instead of three [B, L] token arrays (the host->device transfer was
@@ -86,7 +101,7 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
             def encode(ids):
                 _, h, _ = model.apply({"params": p}, ids,
                                       deterministic=False, rngs=rngs)
-                return jnp.mean(h, axis=1)
+                return mean_pool(h, ids, pad_id, pool_mode)
             h_a, h_p, h_n = encode(anchor), encode(pos), encode(neg)
             cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
                              temperature=temperature,
@@ -114,7 +129,8 @@ def pad_to_length(examples, pad_id: int, length: int) -> np.ndarray:
 
 def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
                             temperature: float, lambda_decay: float,
-                            eta: float, gamma: float, mask_token: int):
+                            eta: float, gamma: float, mask_token: int,
+                            pad_id: int, pool_mode: str = "masked"):
     """Whole-epoch ``lax.scan`` over the step batches: ONE device dispatch
     per epoch (plus one for any remainder batch) instead of one per step —
     through a ~30ms-latency remote tunnel this is the difference between
@@ -122,7 +138,7 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
     step = make_retriever_train_step(
         model, optimizer, alpha=alpha, temperature=temperature,
         lambda_decay=lambda_decay, eta=eta, gamma=gamma,
-        mask_token=mask_token)
+        mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs):
@@ -144,7 +160,8 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
                  lines: Optional[List[str]] = None, *,
                  ids_array: Optional[jnp.ndarray] = None,
                  block_size: int = 512, length: Optional[int] = None,
-                 batch_size: int = 64, bucket: int = 64) -> np.ndarray:
+                 batch_size: int = 64, bucket: int = 64,
+                 pool_mode: str = "masked") -> np.ndarray:
     """Mean-pooled hidden-state embeddings for (history) lines.
 
     Pass ``ids_array`` (a device-resident padded [N, L] id matrix) to
@@ -154,7 +171,7 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
     @jax.jit
     def encode(ids):
         _, h, _ = model.apply({"params": params}, ids, deterministic=True)
-        return jnp.mean(h, axis=1)
+        return mean_pool(h, ids, tokenizer.pad_id, pool_mode)
 
     out = []
     if ids_array is not None:
@@ -183,11 +200,12 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
 def score_pool(model: GPT2LMModel, params, tokenizer: Tokenizer,
                query_lines: List[str], index: DenseIndex, *,
                block_size: int = 512, length: Optional[int] = None,
-               batch_size: int = 32) -> np.ndarray:
+               batch_size: int = 32,
+               pool_mode: str = "masked") -> np.ndarray:
     """[n_queries, n_pool] rescaled-cosine scores."""
     q = embed_corpus(model, params, tokenizer, query_lines,
                      block_size=block_size, length=length,
-                     batch_size=batch_size)
+                     batch_size=batch_size, pool_mode=pool_mode)
     return np.asarray(index.score(q))
 
 
@@ -302,7 +320,8 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     epoch_fn, train_step = make_retriever_epoch_fn(
         model, optimizer, alpha=rcfg.alpha, temperature=rcfg.temperature,
         lambda_decay=rcfg.lambda_decay, eta=rcfg.eta, gamma=rcfg.gamma,
-        mask_token=len(tokenizer) - 1)
+        mask_token=len(tokenizer) - 1, pad_id=tokenizer.pad_id,
+        pool_mode=rcfg.pool_mode)
 
     gen_out_dir = gen_out_dir or os.path.join(out_dir, "retrieval_result")
 
@@ -318,11 +337,13 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         lines = val_lines if split == "val" else test_lines
         gt = val_gt if split == "val" else test_gt
         pool_emb = embed_corpus(model, params, tokenizer,
-                                ids_array=pool_dev)
+                                ids_array=pool_dev,
+                                pool_mode=rcfg.pool_mode)
         index = DenseIndex(pool_emb)
         scores = score_pool(model, params, tokenizer, lines, index,
                             block_size=spec.block_size, length=pool_len,
-                            batch_size=eval_batch_size)
+                            batch_size=eval_batch_size,
+                            pool_mode=rcfg.pool_mode)
         if write_best:
             write_gen_files(scores, gen_out_dir, split)
         return retrieval_metrics(scores, gt, batch_size=eval_batch_size)
