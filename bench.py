@@ -13,6 +13,11 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    from rag4dyg_tpu.cli import _enable_compile_cache as f
+    f()
+
 POOL, DIM, QUERIES, BATCH, TOPK = 16384, 512, 2048, 256, 10
 
 
@@ -83,6 +88,7 @@ def bench_reference(pool: np.ndarray, queries: np.ndarray) -> float:
 
 
 def main():
+    _enable_compile_cache()
     rng = np.random.RandomState(0)
     pool = rng.randn(POOL, DIM).astype(np.float32)
     queries = rng.randn(QUERIES, DIM).astype(np.float32)

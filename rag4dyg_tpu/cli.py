@@ -231,10 +231,28 @@ def cmd_pipeline(args):
         fn(a)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated runs skip the 15-60 s
+    remote compiles (measured 15.4 s -> 1.3 s across processes)."""
+    import jax
+    cache = os.environ.get(
+        "RAG4DYG_JAX_CACHE",
+        os.path.join(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.expanduser("~/.cache")),
+                     "rag4dyg_tpu", "jaxcache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="rag4dyg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
