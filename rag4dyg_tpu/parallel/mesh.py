@@ -136,3 +136,48 @@ def make_sharded_lm_train_step(model, optimizer, mesh: Mesh,
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(jnp.asarray(batch),
                           NamedSharding(mesh, P("data", None)))
+
+
+def make_sharded_lm_epoch_fn(model, optimizer, mesh: Mesh,
+                             params: Dict[str, Any]):
+    """Sharded twin of train.backbone.make_lm_epoch_fn: one scan dispatch
+    per epoch, params/opt-state laid out per ``param_partition_specs``,
+    each step's gathered batch constrained onto the ``data`` axis so XLA
+    data-parallelizes the forward/backward and all-reduces gradients.
+
+    Returns (epoch_fn, sharded_params, opt_state).
+    """
+    specs = param_partition_specs(params)
+    params = shard_params(params, mesh, specs)
+    param_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+    opt_shardings = _opt_state_shardings(optimizer, params, specs, mesh)
+    opt_state = jax.jit(optimizer.init, in_shardings=(param_shardings,),
+                        out_shardings=opt_shardings)(params)
+    repl = NamedSharding(mesh, P())
+    batch_spec = NamedSharding(mesh, P("data", None))
+
+    def epoch(params, opt_state, corpus_ids, rows_all, rngs):
+        def body(carry, xs):
+            params, opt_state = carry
+            rows, rng = xs
+            batch = jax.lax.with_sharding_constraint(
+                jnp.take(corpus_ids, rows, axis=0), batch_spec)
+
+            def loss_fn(p):
+                logits, _, _ = model.apply({"params": p}, batch,
+                                           deterministic=False,
+                                           rngs={"dropout": rng})
+                return shift_ce_loss(logits, batch)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (rows_all, rngs))
+        return params, opt_state, losses.sum()
+
+    epoch_jit = jax.jit(
+        epoch,
+        in_shardings=(param_shardings, opt_shardings, repl, repl, repl),
+        donate_argnums=(0, 1))
+    return epoch_jit, params, opt_state

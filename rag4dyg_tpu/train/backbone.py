@@ -122,6 +122,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                    save_every: int = 0, save_total_limit: int = 2,
                    resume: bool = False,
                    stop_after_epoch: Optional[int] = None,
+                   mesh=None,
                    log_every: int = 50) -> StageResult:
     """``save_every`` > 0 writes a rotating checkpoint-step<epoch> (with
     optimizer state) every that many epochs; ``resume`` continues from
@@ -158,8 +159,15 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     schedule = linear_warmup_linear_decay(spec.learning_rate, 0,
                                           steps_per_epoch * epochs)
     optimizer = make_optimizer(params, schedule, weight_decay=0.0)
-    opt_state = optimizer.init(params)
-    epoch_fn, _ = make_lm_epoch_fn(model, optimizer)
+    if mesh is not None:
+        # multi-chip SPMD: params/opt-state sharded per partition specs,
+        # batches constrained onto the mesh's data axis inside the scan
+        from rag4dyg_tpu.parallel.mesh import make_sharded_lm_epoch_fn
+        epoch_fn, params, opt_state = make_sharded_lm_epoch_fn(
+            model, optimizer, mesh, params)
+    else:
+        opt_state = optimizer.init(params)
+        epoch_fn, _ = make_lm_epoch_fn(model, optimizer)
 
     # device-resident padded corpus for on-device batch gathers
     corpus_len = -(-max(len(s) for s in examples) // 64) * 64
@@ -215,7 +223,9 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
         # stage-1 early stopping: ties save and reset (main_SimpleDyG.py:306-328)
         if best_score is None or score >= best_score:
-            best_score, best_params, best_epoch = score, params, epoch
+            # sharded epochs donate their input buffers — snapshot to host
+            best = jax.device_get(params) if mesh is not None else params
+            best_score, best_params, best_epoch = score, best, epoch
             counter = 0
             save_checkpoint(os.path.join(out_dir, "checkpoint-best"),
                             best_params, config=model.config,

@@ -72,3 +72,37 @@ def test_data_parallel_mesh_runs():
     _, _, loss = step(sh_params, sh_opt, shard_batch(batch, mesh),
                       jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_train_backbone_on_mesh(tmp_path):
+    """End-to-end sharded training: train_backbone(mesh=...) must run and
+    produce a usable best checkpoint."""
+    import json
+    import os
+
+    from rag4dyg_tpu.config import DatasetSpec
+    from rag4dyg_tpu.train.backbone import train_backbone
+
+    d = tmp_path / "res"
+    d.mkdir()
+    lines = [f"<|endoftext|> <|history|> {e} <|time0|> {(e+1)%10} {(e+2)%10} "
+             f"<|endofhistory|> <|pre|> <|time1|> {(e+3)%10} <|endofpre|> "
+             f"<|endoftext|>" for e in range(8)]
+    (d / "train.link_prediction").write_text("\n".join(lines) + "\n")
+    ev = [f"<|endoftext|> <|history|> {e} <|time0|> {(e+1)%10} "
+          f"<|endofhistory|>" for e in range(4)]
+    gt = [f"<|pre|> <|time1|> {(e+2)%10} <|endofpre|> <|endoftext|>"
+          for e in range(4)]
+    for split in ("val", "test"):
+        (d / f"{split}.link_prediction").write_text("\n".join(ev) + "\n")
+        (d / f"{split}_gt.link_prediction").write_text("\n".join(gt) + "\n")
+    (d / "vocab.json").write_text(json.dumps({str(i): i for i in range(10)}))
+
+    spec = DatasetSpec(name="tiny", timestep=1, csv_name="t", time_scale=1.0,
+                       n_layer=1, n_head=2, n_embd=16, batch_size=4,
+                       epochs=2, patience=100)
+    mesh = make_mesh(n_data=4, n_model=2)
+    res = train_backbone(spec, str(d), str(tmp_path / "out"), epochs=2,
+                         seed=0, mesh=mesh)
+    assert os.path.isdir(res.checkpoint_dir)
+    assert res.val_metrics["num_scored"] == 4
