@@ -147,6 +147,9 @@ def cmd_train_generator(args):
 
 
 def cmd_eval(args):
+    """Decode-and-score a checkpoint. Generator checkpoints (param tree
+    contains 'fusion') evaluate the full RAG path using the retrieval
+    index files under <resources>/retrieval_result (or --retrieval-dir)."""
     from rag4dyg_tpu.data.serialize import read_corpus_lines
     from rag4dyg_tpu.eval.evaluate import generation_eval
     from rag4dyg_tpu.models import GPT2LMModel
@@ -164,8 +167,33 @@ def cmd_eval(args):
         os.path.join(args.resources, f"{args.split}.link_prediction"))
     gt = read_corpus_lines(
         os.path.join(args.resources, f"{args.split}_gt.link_prediction"))
-    metrics = generation_eval(model, params, tok, lines, gt, tok.node_vocab,
-                              args.split, with_recall=True)
+
+    factory = None
+    eval_params = params
+    if "fusion" in params:  # RAG generator checkpoint
+        from rag4dyg_tpu.train.generator import (
+            DemoStore,
+            load_index_file,
+            make_prefill_factory,
+        )
+        gcfg = spec.generator
+        train_lines = read_corpus_lines(
+            os.path.join(args.resources, "train.link_prediction"))
+        store = DemoStore(tok.encode_batch(train_lines,
+                                           max_len=spec.block_size),
+                          tok.pad_id, top_k=gcfg.top_k)
+        rdir = (getattr(args, "retrieval_dir", None)
+                or os.path.join(args.resources, "retrieval_result"))
+        index_rows = load_index_file(
+            os.path.join(rdir, f"{args.split}_index.gen"))
+        factory = make_prefill_factory(params, store, index_rows,
+                                       gcfg.fusion, gcfg.m,
+                                       gcfg.fusion_pad_len)
+        eval_params = {k: v for k, v in params.items() if k != "fusion"}
+
+    metrics = generation_eval(model, eval_params, tok, lines, gt,
+                              tok.node_vocab, args.split, with_recall=True,
+                              prefill_embed_fn_factory=factory)
     print(json.dumps(metrics))
 
 
@@ -290,6 +318,8 @@ def main(argv=None):
     common(ev)
     ev.add_argument("--checkpoint", required=True)
     ev.add_argument("--split", default="test", choices=["val", "test"])
+    ev.add_argument("--retrieval-dir", default=None,
+                    help="dir with {split}_index.gen for RAG checkpoints")
     pipe = sub.add_parser("pipeline")
     common(pipe, csv=True, out=True, train=True)
     sw = sub.add_parser("sweep")
