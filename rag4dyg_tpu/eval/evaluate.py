@@ -26,7 +26,8 @@ from rag4dyg_tpu.ops.decode import greedy_decode
 
 def _filter_set(tokenizer) -> set:
     """The reference's spl_tokens: additional specials + bos/eos + pad
-    (mask token excluded — it is registered separately in the reference)."""
+    (mask token excluded — it is registered separately in the reference,
+    never in additional_special_tokens)."""
     toks = set(tokenizer.special_tokens)
     toks.discard("[MASK]")
     return toks
@@ -54,9 +55,10 @@ def generation_eval(model, params, tokenizer, data_lines: Sequence[str],
     assert len(data_lines) == len(gt_lines)
     n_ctx = model.config.n_positions
     spl = _filter_set(tokenizer)
-    n_spl = len(spl)
-    if tokenizer.mask_id is not None:
-        n_spl += 1  # reference counts [MASK]/[PAD] etc. in len(spl_tokens)
+    # the reference's spl_tokens is a LIST that counts <|endoftext|> twice
+    # (bos AND eos — Evaluation_SimpleDyG.py:55); the set above collapses
+    # them, so add 1 to match the generation budget exactly
+    n_spl = len(spl) + 1
 
     cases = []  # (orig_index, user_id, target, prompt_ids, cap)
     for i, (line, gt) in enumerate(zip(data_lines, gt_lines)):

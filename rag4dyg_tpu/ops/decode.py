@@ -59,8 +59,7 @@ def left_pad_batch(seqs: Sequence[Sequence[int]], pad_id: int,
 def greedy_decode(model, params, seqs: Sequence[Sequence[int]], *,
                   eos_id: int, pad_id: int, caps: Sequence[int],
                   max_steps: int, bucket: int = 128,
-                  prefill_embed_fn: Optional[Callable] = None,
-                  extra_prefill_cols: int = 0
+                  prefill_embed_fn: Optional[Callable] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy-decode a ragged batch of prompts.
 
@@ -75,8 +74,8 @@ def greedy_decode(model, params, seqs: Sequence[Sequence[int]], *,
       prefill_embed_fn: optional ``(ids, pad_mask, position_ids) ->
         (embeds, pad_mask, position_ids)`` hook that maps the left-padded
         prompt to prefill embeddings (the RAG fusion path splices
-        demonstration embeddings here, widening the prompt by
-        ``extra_prefill_cols``).
+        demonstration embeddings here; the widened width is inferred from
+        the returned pad_mask).
 
     Returns:
       (tokens [B, max_steps], lengths [B]) — generated ids per row; entries

@@ -34,8 +34,6 @@ def _merge_topk(cat_s: jnp.ndarray, cat_i: jnp.ndarray, k: int
     """k unrolled max-extract steps over the lane axis. Ties resolve to the
     lowest pool index (numpy argsort order for distinct scores; duplicate
     scores are ordered by index, matching a stable descending sort)."""
-    TB, C = cat_s.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (TB, C), 1)
     out_s, out_i = [], []
     for _ in range(k):
         m = jnp.max(cat_s, axis=1)                       # [TB]

@@ -176,8 +176,10 @@ def make_sharded_lm_epoch_fn(model, optimizer, mesh: Mesh,
             body, (params, opt_state), (rows_all, rngs))
         return params, opt_state, losses.sum()
 
+    # NO buffer donation here: the trainers wrap epoch calls in
+    # retry_transient, and a retry after an execution-time RPC failure
+    # must be able to re-present the same (undeleted) inputs
     epoch_jit = jax.jit(
         epoch,
-        in_shardings=(param_shardings, opt_shardings, repl, repl, repl),
-        donate_argnums=(0, 1))
+        in_shardings=(param_shardings, opt_shardings, repl, repl, repl))
     return epoch_jit, params, opt_state

@@ -194,6 +194,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     runlog = RunLogger(out_dir, "backbone", config=spec)
 
     B = spec.batch_size
+    epoch = start_epoch - 1  # meta value if the loop never runs (resume done)
     for epoch in range(start_epoch, epochs):
         # per-epoch derived rngs so a resumed run replays the same stream
         epoch_rng = jax.random.fold_in(base_rng, 1 + epoch)

@@ -266,9 +266,12 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     retrieval_dir = retrieval_dir or os.path.join(resources_dir,
                                                   "retrieval_result")
 
+    # the reference generator tokenizer has NO [MASK]
+    # (utils/tokenizer_generator.py registers bos/eos/pad only), so the
+    # vocab matches the backbone exactly and no untrained row can win argmax
     tokenizer = Tokenizer.from_vocab_file(
         os.path.join(resources_dir, "vocab.json"), spec.timestep,
-        with_mask_token=True)
+        with_mask_token=False)
     train_lines = read_corpus_lines(
         os.path.join(resources_dir, "train.link_prediction"))
     val_lines = read_corpus_lines(

@@ -16,20 +16,12 @@ Matches the reference's optimization semantics
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-
-
-@dataclasses.dataclass
-class TrainState:
-    params: Dict[str, Any]
-    opt_state: Any
-    step: int = 0
 
 
 def _no_decay_mask(params) -> Any:
@@ -93,27 +85,3 @@ def make_optimizer(params, schedule: optax.Schedule, *,
     if accumulate_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accumulate_steps)
     return opt
-
-
-def create_train_state(params, optimizer) -> TrainState:
-    return TrainState(params=params, opt_state=optimizer.init(params), step=0)
-
-
-def make_train_step(loss_fn: Callable, optimizer) -> Callable:
-    """jit-compiled (state, batch, rng) -> (state, loss).
-
-    ``loss_fn(params, batch, rng) -> scalar``.
-    """
-    @jax.jit
-    def step(params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    def wrapped(state: TrainState, batch, rng):
-        params, opt_state, loss = step(state.params, state.opt_state, batch,
-                                       rng)
-        return TrainState(params, opt_state, state.step + 1), float(loss)
-
-    return wrapped
