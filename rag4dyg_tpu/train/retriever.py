@@ -97,18 +97,27 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
         drop_rng, aug_rng = jax.random.split(rng)
 
         def loss_fn(p):
-            rngs = {"dropout": drop_rng}
-            def encode(ids):
+            # remat each encoder pass: the step holds FIVE [B, H, L, L]
+            # attention activation sets otherwise (OOM at wikiv2 scale);
+            # recomputing them in backward trades ~1 extra forward for
+            # ~5x activation memory. Fresh dropout mask per pass (the
+            # reference's five torch forwards each draw their own).
+            @jax.checkpoint
+            def encode(ids, pass_rng):
                 _, h, _ = model.apply({"params": p}, ids,
-                                      deterministic=False, rngs=rngs)
+                                      deterministic=False,
+                                      rngs={"dropout": pass_rng})
                 return mean_pool(h, ids, pad_id, pool_mode)
-            h_a, h_p, h_n = encode(anchor), encode(pos), encode(neg)
+            h_a = encode(anchor, jax.random.fold_in(drop_rng, 0))
+            h_p = encode(pos, jax.random.fold_in(drop_rng, 1))
+            h_n = encode(neg, jax.random.fold_in(drop_rng, 2))
             cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
                              temperature=temperature,
                              decay_rate=lambda_decay)
             aug1, aug2 = augment_views(anchor, aug_rng, eta=eta, gamma=gamma,
                                        mask_token=mask_token)
-            z1, z2 = encode(aug1), encode(aug2)
+            z1 = encode(aug1, jax.random.fold_in(drop_rng, 3))
+            z2 = encode(aug2, jax.random.fold_in(drop_rng, 4))
             aug = alpha * info_nce_loss(z1, z2, temperature)
             return cl + aug, (cl, aug)
 
