@@ -156,10 +156,11 @@ def make_sharded_lm_epoch_fn(model, optimizer, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     batch_spec = NamedSharding(mesh, P("data", None))
 
-    def epoch(params, opt_state, corpus_ids, rows_all, rngs):
+    def epoch(params, opt_state, corpus_ids, rows_all, rngs, valids):
+        # valids marks fixed-shape padding steps; updates discarded
         def body(carry, xs):
             params, opt_state = carry
-            rows, rng = xs
+            rows, rng, valid = xs
             batch = jax.lax.with_sharding_constraint(
                 jnp.take(corpus_ids, rows, axis=0), batch_spec)
 
@@ -169,11 +170,14 @@ def make_sharded_lm_epoch_fn(model, optimizer, mesh: Mesh,
                                            rngs={"dropout": rng})
                 return shift_ce_loss(logits, batch)
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            updates, new_o = optimizer.update(grads, opt_state, params)
+            new_p = optax.apply_updates(params, updates)
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(valid, a, b), new, old)
+            return ((keep(new_p, params), keep(new_o, opt_state)),
+                    jnp.where(valid, loss, 0.0))
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (rows_all, rngs))
+            body, (params, opt_state), (rows_all, rngs, valids))
         return params, opt_state, losses.sum()
 
     # NO buffer donation here: the trainers wrap epoch calls in
@@ -181,5 +185,6 @@ def make_sharded_lm_epoch_fn(model, optimizer, mesh: Mesh,
     # must be able to re-present the same (undeleted) inputs
     epoch_jit = jax.jit(
         epoch,
-        in_shardings=(param_shardings, opt_shardings, repl, repl, repl))
+        in_shardings=(param_shardings, opt_shardings, repl, repl, repl,
+                      repl))
     return epoch_jit, params, opt_state

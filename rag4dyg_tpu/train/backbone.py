@@ -86,15 +86,20 @@ def make_lm_epoch_fn(model: GPT2LMModel, optimizer):
     step = make_lm_train_step(model, optimizer)
 
     @jax.jit
-    def epoch(params, opt_state, corpus_ids, rows_all, rngs):
+    def epoch(params, opt_state, corpus_ids, rows_all, rngs, valids):
+        # valids marks padding steps (fixed-shape chunking); their
+        # updates are discarded so the schedule tracks real steps only
         def body(carry, xs):
             params, opt_state = carry
-            rows, rng = xs
+            rows, rng, valid = xs
             batch = jnp.take(corpus_ids, rows, axis=0)
-            params, opt_state, loss = step(params, opt_state, batch, rng)
-            return (params, opt_state), loss
+            new_p, new_o, loss = step(params, opt_state, batch, rng)
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(valid, a, b), new, old)
+            return ((keep(new_p, params), keep(new_o, opt_state)),
+                    jnp.where(valid, loss, 0.0))
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (rows_all, rngs))
+            body, (params, opt_state), (rows_all, rngs, valids))
         return params, opt_state, losses.sum()
     return epoch, step
 
@@ -204,11 +209,25 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         if max_steps_per_epoch:
             n_full = min(n_full, max_steps_per_epoch)
         rows_all = order[: n_full * B].astype(np.int32).reshape(n_full, B)
-        rngs = jax.random.split(epoch_rng, n_full)
-        params, opt_state, loss_sum = retry_transient(
-            epoch_fn, params, opt_state, corpus_dev, jnp.asarray(rows_all),
-            rngs)
-        epoch_loss, n_batches = float(loss_sum), n_full
+        rngs = np.asarray(jax.random.split(epoch_rng, n_full))
+        # fixed-size scan chunks: one compiled shape, and no multi-minute
+        # single dispatch to trip the remote worker watchdog
+        MAX_SCAN = 256
+        n_chunks = -(-n_full // MAX_SCAN)
+        total = n_chunks * MAX_SCAN
+        if total > n_full:  # cyclic-pad the masked no-op steps
+            rows_all = np.resize(rows_all, (total, rows_all.shape[1]))
+            rngs = np.resize(rngs, (total, rngs.shape[1]))
+        valid = np.arange(total) < n_full
+        epoch_loss = 0.0
+        for c in range(n_chunks):
+            sl = slice(c * MAX_SCAN, (c + 1) * MAX_SCAN)
+            params, opt_state, loss_sum = retry_transient(
+                epoch_fn, params, opt_state, corpus_dev,
+                jnp.asarray(rows_all[sl]), jnp.asarray(rngs[sl]),
+                jnp.asarray(valid[sl]))
+            epoch_loss += float(loss_sum)
+        n_batches = n_full
         global_step += n_full
 
         val_metrics = retry_transient(

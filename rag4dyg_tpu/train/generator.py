@@ -194,18 +194,22 @@ def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int):
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, pool_valid, rows_all, topk_all,
-              rngs):
+              rngs, valids):
+        # valids marks fixed-shape padding steps; updates discarded
         def body(carry, xs):
             params, opt_state = carry
-            rows, tk, rng = xs
+            rows, tk, rng, valid = xs
             batch = jnp.take(pool_ids, rows, axis=0)          # [B, S]
             d_ids = jnp.take(pool_ids, tk, axis=0)            # [B, K, S]
             d_valid = jnp.take(pool_valid, tk, axis=0)
-            params, opt_state, loss = step(params, opt_state, batch,
-                                           d_ids, d_valid, rng)
-            return (params, opt_state), loss
+            new_p, new_o, loss = step(params, opt_state, batch,
+                                      d_ids, d_valid, rng)
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(valid, a, b), new, old)
+            return ((keep(new_p, params), keep(new_o, opt_state)),
+                    jnp.where(valid, loss, 0.0))
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (rows_all, topk_all, rngs))
+            body, (params, opt_state), (rows_all, topk_all, rngs, valids))
         return params, opt_state, losses.sum()
     return epoch, step
 
@@ -366,11 +370,22 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             rows_all = order[: n_full * B].astype(np.int32).reshape(n_full, B)
             topk_all = topk_table[rows_all]               # [S, B, K]
             rng, epoch_rng = jax.random.split(rng)
-            rngs = jax.random.split(epoch_rng, n_full)
-            params, opt_state, loss_sum = retry_transient(
-                epoch_fn, params, opt_state, store.ids, store.valid,
-                jnp.asarray(rows_all), jnp.asarray(topk_all), rngs)
-            epoch_loss += float(loss_sum)
+            rngs = np.asarray(jax.random.split(epoch_rng, n_full))
+            MAX_SCAN = 128  # watchdog-safe dispatch size, fixed shape
+            n_chunks = -(-n_full // MAX_SCAN)
+            total = n_chunks * MAX_SCAN
+            if total > n_full:  # cyclic-pad the masked no-op steps
+                rows_all = np.resize(rows_all, (total, rows_all.shape[1]))
+                topk_all = np.resize(topk_all, (total,) + topk_all.shape[1:])
+                rngs = np.resize(rngs, (total, rngs.shape[1]))
+            valid = np.arange(total) < n_full
+            for c in range(n_chunks):
+                sl = slice(c * MAX_SCAN, (c + 1) * MAX_SCAN)
+                params, opt_state, loss_sum = retry_transient(
+                    epoch_fn, params, opt_state, store.ids, store.valid,
+                    jnp.asarray(rows_all[sl]), jnp.asarray(topk_all[sl]),
+                    jnp.asarray(rngs[sl]), jnp.asarray(valid[sl]))
+                epoch_loss += float(loss_sum)
             nb += n_full
         elif n_full:  # mlp fusion keeps the per-step path (host concat)
             for s in range(0, n_full * B, B):

@@ -150,17 +150,25 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
         mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode)
 
     @jax.jit
-    def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs):
-        # idx_all: [S, B, 3]; times [S, B]; rngs [S] keys
+    def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs,
+              valids):
+        # idx_all: [S, B, 3]; times [S, B]; rngs [S] keys; valids [S] —
+        # False marks padding steps (chunks are padded to a fixed length
+        # so every dispatch reuses one compiled shape); their updates are
+        # discarded, so the optimizer step count tracks real steps only
         def body(carry, xs):
             params, opt_state = carry
-            idx, at, pt, nt, rng = xs
+            idx, at, pt, nt, rng, valid = xs
             # nested jit inlines under the outer trace
-            params, opt_state, loss, _, _ = step(
+            new_p, new_o, loss, _, _ = step(
                 params, opt_state, pool_ids, idx, at, pt, nt, rng)
-            return (params, opt_state), loss
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(valid, a, b), new, old)
+            return ((keep(new_p, params), keep(new_o, opt_state)),
+                    jnp.where(valid, loss, 0.0))
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (idx_all, a_t, p_t, n_t, rngs))
+            body, (params, opt_state), (idx_all, a_t, p_t, n_t, rngs,
+                                        valids))
         return params, opt_state, losses.sum()
     return epoch, step
 
@@ -335,22 +343,42 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     gen_out_dir = gen_out_dir or os.path.join(out_dir, "retrieval_result")
 
     # device-resident padded pool: per-step transfers shrink to [B, 3]
-    # indices, every encode shares ONE compiled shape, and the per-epoch
-    # pool embedding never re-uploads tokens
+    # indices and the per-epoch pool embedding never re-uploads tokens.
+    # Length-bucketed views (128-multiples) keep compute proportional to
+    # real sequence length — e.g. reddit's pool is p50=8 tokens with a
+    # 512-token tail, and flat-512 padding wastes ~16x FLOPs and
+    # overflows HBM with [B, H, 512, 512] attention activations.
     pool_len = min(spec.block_size,
                    -(-max(len(s) for s in pool_examples) // 64) * 64)
     pool_dev = jnp.asarray(pad_to_length(pool_examples, tokenizer.pad_id,
                                          pool_len))
+    LB = 128
+    pool_lens_np = np.minimum(
+        np.array([max(1, len(s)) for s in pool_examples]), pool_len)
+    line_bucket = np.minimum(-(-pool_lens_np // LB) * LB, pool_len)
+    buckets = sorted(set(line_bucket.tolist()))
+    pool_views = {b: pool_dev[:, :b] for b in buckets}
 
     def evaluate(params, split: str, write_best: bool) -> Dict:
         lines = val_lines if split == "val" else test_lines
         gt = val_gt if split == "val" else test_gt
-        pool_emb = embed_corpus(model, params, tokenizer,
-                                ids_array=pool_dev,
-                                pool_mode=rcfg.pool_mode)
+        # bucketed pool embedding (masked mean is padding-invariant, so
+        # bucketing is exact; 'padded' mode becomes bucket-dependent the
+        # way the reference was batch-dependent)
+        pool_emb = None
+        for b in buckets:
+            rows = np.where(line_bucket == b)[0]
+            emb = embed_corpus(model, params, tokenizer,
+                               ids_array=jnp.take(pool_views[b],
+                                                  jnp.asarray(rows), axis=0),
+                               pool_mode=rcfg.pool_mode)
+            if pool_emb is None:
+                pool_emb = np.zeros((len(pool_examples), emb.shape[1]),
+                                    np.float32)
+            pool_emb[rows] = emb
         index = DenseIndex(pool_emb)
         scores = score_pool(model, params, tokenizer, lines, index,
-                            block_size=spec.block_size, length=pool_len,
+                            block_size=spec.block_size,
                             batch_size=eval_batch_size,
                             pool_mode=rcfg.pool_mode)
         if write_best:
@@ -364,6 +392,10 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     n_pairs = len(pairs)
     B = rcfg.batch_size
+    # cap the steps per scan dispatch: a single multi-minute on-chip
+    # dispatch trips the remote worker's watchdog ("TPU worker process
+    # crashed or restarted" on reddit's 1454-step epochs)
+    MAX_SCAN = 128
     for epoch in range(epochs):
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
@@ -373,20 +405,42 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         if n_full:
             idx_all = pairs[order[: n_full * B]].astype(np.int32)
             idx_all = idx_all.reshape(n_full, B, 3)
+            # per-batch pad bucket = max member bucket (the reference pads
+            # each batch to ITS max length; batches stay randomly composed)
+            step_bucket = line_bucket[idx_all].max(axis=(1, 2))   # [S]
             times = query_times[idx_all]                  # [S, B, 3]
             rng, epoch_rng = jax.random.split(rng)
-            rngs = jax.random.split(epoch_rng, n_full)
-            params, opt_state, loss_sum = retry_transient(
-                epoch_fn, params, opt_state, pool_dev, jnp.asarray(idx_all),
-                jnp.asarray(times[..., 0]), jnp.asarray(times[..., 1]),
-                jnp.asarray(times[..., 2]), rngs)
-            epoch_loss += float(loss_sum)
-            nb += n_full
+            rngs = np.asarray(jax.random.split(epoch_rng, n_full))
+            for b in buckets:
+                sel = np.where(step_bucket == b)[0]
+                if not len(sel):
+                    continue
+                # pad to a multiple of MAX_SCAN with masked no-op steps so
+                # every dispatch reuses the same compiled [MAX_SCAN] shape
+                n_chunks = -(-len(sel) // MAX_SCAN)
+                padded = np.zeros(n_chunks * MAX_SCAN, np.int64)
+                padded[: len(sel)] = sel
+                valid = np.zeros(n_chunks * MAX_SCAN, bool)
+                valid[: len(sel)] = True
+                for c in range(n_chunks):
+                    sl = padded[c * MAX_SCAN:(c + 1) * MAX_SCAN]
+                    vl = valid[c * MAX_SCAN:(c + 1) * MAX_SCAN]
+                    params, opt_state, loss_sum = retry_transient(
+                        epoch_fn, params, opt_state, pool_views[b],
+                        jnp.asarray(idx_all[sl]),
+                        jnp.asarray(times[sl, :, 0]),
+                        jnp.asarray(times[sl, :, 1]),
+                        jnp.asarray(times[sl, :, 2]),
+                        jnp.asarray(rngs[sl]), jnp.asarray(vl))
+                    epoch_loss += float(loss_sum)
+                    nb += int(vl.sum())
         rem = pairs[order[n_full * B:]].astype(np.int32)
         if len(rem) and not max_steps_per_epoch:  # drop_last=False tail
+            b = int(line_bucket[rem].max())
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, _, _ = retry_transient(
-                train_step, params, opt_state, pool_dev, jnp.asarray(rem),
+                train_step, params, opt_state, pool_views[b],
+                jnp.asarray(rem),
                 jnp.asarray(query_times[rem[:, 0]]),
                 jnp.asarray(query_times[rem[:, 1]]),
                 jnp.asarray(query_times[rem[:, 2]]), step_rng)
