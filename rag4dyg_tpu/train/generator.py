@@ -371,7 +371,7 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             topk_all = topk_table[rows_all]               # [S, B, K]
             rng, epoch_rng = jax.random.split(rng)
             rngs = np.asarray(jax.random.split(epoch_rng, n_full))
-            MAX_SCAN = 128  # watchdog-safe dispatch size, fixed shape
+            MAX_SCAN = 64  # watchdog-safe dispatch size, fixed shape
             n_chunks = -(-n_full // MAX_SCAN)
             total = n_chunks * MAX_SCAN
             if total > n_full:  # cyclic-pad the masked no-op steps

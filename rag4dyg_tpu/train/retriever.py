@@ -392,10 +392,12 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     n_pairs = len(pairs)
     B = rcfg.batch_size
-    # cap the steps per scan dispatch: a single multi-minute on-chip
-    # dispatch trips the remote worker's watchdog ("TPU worker process
-    # crashed or restarted" on reddit's 1454-step epochs)
-    MAX_SCAN = 128
+    # cap the steps per scan dispatch: the remote worker kills dispatches
+    # running longer than ~100 s ("TPU worker process crashed or
+    # restarted"), so chunk sizes scale inversely with the quadratic
+    # attention cost of the bucket (measured ~0.6 s/step at L=512, B=128)
+    def chunk_steps(b: int) -> int:
+        return max(8, int(128 * (LB / b) ** 2))
     for epoch in range(epochs):
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
@@ -415,16 +417,17 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 sel = np.where(step_bucket == b)[0]
                 if not len(sel):
                     continue
-                # pad to a multiple of MAX_SCAN with masked no-op steps so
-                # every dispatch reuses the same compiled [MAX_SCAN] shape
-                n_chunks = -(-len(sel) // MAX_SCAN)
-                padded = np.zeros(n_chunks * MAX_SCAN, np.int64)
+                # pad to a multiple of the bucket's chunk size with masked
+                # no-op steps so every dispatch reuses one compiled shape
+                CH = chunk_steps(b)
+                n_chunks = -(-len(sel) // CH)
+                padded = np.zeros(n_chunks * CH, np.int64)
                 padded[: len(sel)] = sel
-                valid = np.zeros(n_chunks * MAX_SCAN, bool)
+                valid = np.zeros(n_chunks * CH, bool)
                 valid[: len(sel)] = True
                 for c in range(n_chunks):
-                    sl = padded[c * MAX_SCAN:(c + 1) * MAX_SCAN]
-                    vl = valid[c * MAX_SCAN:(c + 1) * MAX_SCAN]
+                    sl = padded[c * CH:(c + 1) * CH]
+                    vl = valid[c * CH:(c + 1) * CH]
                     params, opt_state, loss_sum = retry_transient(
                         epoch_fn, params, opt_state, pool_views[b],
                         jnp.asarray(idx_all[sl]),
