@@ -35,6 +35,10 @@ def _spec(args) -> DatasetSpec:
     if args.dataset not in DATASETS:
         sys.exit(f"unknown dataset {args.dataset!r}; known: {sorted(DATASETS)}")
     spec = DATASETS[args.dataset]
+    if getattr(args, "pool_mode", None):
+        spec = dataclasses.replace(
+            spec, retriever=dataclasses.replace(spec.retriever,
+                                                pool_mode=args.pool_mode))
     if getattr(args, "smoke", False):
         # tiny-dims end-to-end smoke: same code paths, minutes not hours
         spec = dataclasses.replace(
@@ -197,6 +201,26 @@ def cmd_eval(args):
     print(json.dumps(metrics))
 
 
+def cmd_word2vec(args):
+    """Train CBOW features over a hep-th .abs corpus and save them as an
+    .npz of {ids, features} (the reference's document_features.pkl
+    payload, train_word2vec.py:40-49; consumed during preprocessing to
+    build node_features.npy, all_data/hepth/pre/preprocess.py:215-227)."""
+    import dataclasses as _dc
+
+    from rag4dyg_tpu.data.word2vec import Word2VecParams, abs_corpus_features
+    params = Word2VecParams(dim=args.dim, window=args.window,
+                            epochs=args.w2v_epochs, seed=args.seed or 1)
+    if args.smoke:
+        params = _dc.replace(params, dim=8, epochs=1)
+    feats = abs_corpus_features(args.abs_dir, params)
+    ids = sorted(feats)
+    np.savez(args.out, ids=np.array(ids),
+             features=np.stack([feats[i] for i in ids]))
+    print(json.dumps({"docs": len(ids), "dim": params.dim,
+                      "out": args.out}))
+
+
 def cmd_sweep(args):
     """Seed sweep of one training stage + mean/std aggregation
     (reference: scripts/train_generator/train_rag_graphpooling_*_seed.sh
@@ -302,6 +326,11 @@ def main(argv=None):
                             help="rotating step checkpoint every N epochs")
             sp.add_argument("--resume", action="store_true",
                             help="continue from latest step checkpoint")
+            sp.add_argument("--pool-mode", default=None,
+                            choices=["masked", "padded"],
+                            help="retriever sequence pooling: masked mean "
+                                 "(default) or the reference's padded mean "
+                                 "(train_retriever.py:183-185 quirk)")
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--node-features", default=None,
                         help="node feature .npy for wte init")
@@ -322,6 +351,15 @@ def main(argv=None):
                     help="dir with {split}_index.gen for RAG checkpoints")
     pipe = sub.add_parser("pipeline")
     common(pipe, csv=True, out=True, train=True)
+    w2v = sub.add_parser("word2vec")
+    w2v.add_argument("--abs-dir", required=True,
+                     help="hep-th .abs corpus root (train_word2vec.py:9)")
+    w2v.add_argument("--out", required=True, help="output .npz path")
+    w2v.add_argument("--dim", type=int, default=172)
+    w2v.add_argument("--window", type=int, default=5)
+    w2v.add_argument("--w2v-epochs", type=int, default=5)
+    w2v.add_argument("--seed", type=int, default=None)
+    w2v.add_argument("--smoke", action="store_true")
     sw = sub.add_parser("sweep")
     common(sw, out=True, train=True)
     sw.add_argument("--stage", required=True,
@@ -330,14 +368,15 @@ def main(argv=None):
                     help="comma-separated seed list (reference sweep set)")
 
     args = p.parse_args(argv)
-    if args.resources is None:
+    if getattr(args, "resources", "") is None:
         args.resources = (os.path.join(args.out, "resources")
                           if getattr(args, "out", None) else "resources")
     {"prepare": cmd_prepare, "annotate": cmd_annotate,
      "query-time": cmd_query_time, "train-backbone": cmd_train_backbone,
      "train-retriever": cmd_train_retriever,
      "train-generator": cmd_train_generator, "eval": cmd_eval,
-     "sweep": cmd_sweep, "pipeline": cmd_pipeline}[args.cmd](args)
+     "sweep": cmd_sweep, "pipeline": cmd_pipeline,
+     "word2vec": cmd_word2vec}[args.cmd](args)
 
 
 if __name__ == "__main__":
