@@ -47,6 +47,31 @@ def test_jaccard_matrix_bitwise(uci):
     np.testing.assert_array_equal(ours_in, ref_in)
 
 
+def test_jaccard_matrix_sharded_bitwise(uci):
+    """Mesh-sharded pool axis (8 virtual devices, non-divisible M) must be
+    bit-equal to the single-device path."""
+    from rag4dyg_tpu.parallel import make_mesh
+    train, tok = uci
+    _, out_sets = parse_inout_sets(train[:101], train[:101])
+    mesh = make_mesh(n_data=8, n_model=1)
+    ours = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok),
+                          vocab_chunk=512, mesh=mesh)
+    ref = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok),
+                         vocab_chunk=512)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_jaccard_row_blocking_bitwise(uci):
+    """Query-axis row blocks must not change the result."""
+    from rag4dyg_tpu.pool.jaccard import intersection_counts
+    train, tok = uci
+    _, out_sets = parse_inout_sets(train[:90], train[:90])
+    ids = [[tok.token_to_id(t) for t in s] for s in out_sets]
+    a = intersection_counts(ids, ids, len(tok), row_block=32)
+    b = intersection_counts(ids, ids, len(tok), row_block=8192)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_jaccard_empty_sets(uci):
     _, tok = uci
     sets = [set(), {"1", "2"}, {"2"}]
