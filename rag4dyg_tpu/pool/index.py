@@ -119,7 +119,7 @@ def _topk_dense(queries, pool_normed, k: int):
                    static_argnames=("k", "mesh", "axis", "n_valid"))
 def _topk_sharded(queries, pool_sharded, k: int, mesh, axis: str,
                   n_valid: int):
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     n_shards = mesh.shape[axis]
     shard_rows = pool_sharded.shape[0] // n_shards
@@ -145,4 +145,4 @@ def _topk_sharded(queries, pool_sharded, k: int, mesh, axis: str,
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(axis, None)),
-        out_specs=(P(), P()), check_rep=False)(queries, pool_sharded)
+        out_specs=(P(), P()), check_vma=False)(queries, pool_sharded)
