@@ -105,6 +105,10 @@ def _node_features(spec: DatasetSpec, args):
     if not getattr(args, "node_features", None):
         return None
     feats = np.load(args.node_features)
+    if isinstance(feats, np.lib.npyio.NpzFile):
+        sys.exit(f"{args.node_features}: --node-features needs a plain "
+                 ".npy in node-row order; produce one with "
+                 "`cli word2vec --node-ids <order-file>`")
     assert feats.shape[1] == spec.node_feature_dim, (
         f"expected {spec.node_feature_dim}-d features, got {feats.shape}")
     return feats
@@ -210,10 +214,29 @@ def cmd_word2vec(args):
 
     from rag4dyg_tpu.data.word2vec import Word2VecParams, abs_corpus_features
     params = Word2VecParams(dim=args.dim, window=args.window,
-                            epochs=args.w2v_epochs, seed=args.seed or 1)
+                            epochs=args.w2v_epochs, sample=args.sample,
+                            seed=1 if args.seed is None else args.seed)
     if args.smoke:
         params = _dc.replace(params, dim=8, epochs=1)
     feats = abs_corpus_features(args.abs_dir, params)
+    if args.node_ids:
+        # assemble node_features.npy directly: row r = features of the
+        # r-th id in the node-order file (the reference's remap step,
+        # all_data/hepth/pre/preprocess.py:215-227); unseen ids -> zeros
+        with open(args.node_ids) as f:
+            order = [ln.strip() for ln in f if ln.strip()]
+        out = np.zeros((len(order), params.dim), np.float32)
+        missing = 0
+        for r, pid in enumerate(order):
+            if pid in feats:
+                out[r] = feats[pid]
+            else:
+                missing += 1
+        np.save(args.out, out)
+        print(json.dumps({"docs": len(feats), "nodes": len(order),
+                          "missing": missing, "dim": params.dim,
+                          "out": args.out}))
+        return
     ids = sorted(feats)
     np.savez(args.out, ids=np.array(ids),
              features=np.stack([feats[i] for i in ids]))
@@ -278,6 +301,7 @@ def cmd_pipeline(args):
         a.dtype = args.dtype
         a.smoke = getattr(args, "smoke", False)
         a.node_features = getattr(args, "node_features", None)
+        a.pool_mode = getattr(args, "pool_mode", None)
         for k, v in extra.items():
             setattr(a, k, v)
         fn(a)
@@ -358,7 +382,14 @@ def main(argv=None):
     w2v.add_argument("--dim", type=int, default=172)
     w2v.add_argument("--window", type=int, default=5)
     w2v.add_argument("--w2v-epochs", type=int, default=5)
+    w2v.add_argument("--sample", type=float, default=1e-3,
+                     help="subsampling threshold (gensim default; 0 "
+                          "disables — use for tiny corpora)")
     w2v.add_argument("--seed", type=int, default=None)
+    w2v.add_argument("--node-ids", default=None,
+                     help="file of original node ids in node-row order; "
+                          "when given, --out becomes a node_features.npy "
+                          "usable with --node-features")
     w2v.add_argument("--smoke", action="store_true")
     sw = sub.add_parser("sweep")
     common(sw, out=True, train=True)

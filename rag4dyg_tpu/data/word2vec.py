@@ -23,7 +23,12 @@ gensim is absent from the image):
   gensim's strictly sequential per-example updates;
 - a regex word tokenizer approximating ``nltk.word_tokenize`` (nltk's
   punkt data is not downloadable in this environment);
-- deterministic seeded RNG instead of gensim's hash-based seeding.
+- deterministic seeded RNG instead of gensim's hash-based seeding;
+- the lr decay fraction uses examples seen over an epochs x |epoch 0|
+  estimate (gensim decays over a corpus-word estimate).
+
+Negative draws equal to the center word contribute nothing (masked),
+matching word2vec.c/gensim's skip of ``target == center`` samples.
 """
 
 from __future__ import annotations
@@ -171,11 +176,12 @@ def train_cbow(docs: Sequence[Sequence[str]],
         params.ns_exponent * np.log(freq.astype(np.float64)),
         dtype=jnp.float32)
 
-    epoch_data = [build_epoch_examples(doc_ids, freq, params, rng)
-                  for _ in range(params.epochs)]
-    total = sum(len(c) for _, c in epoch_data)
-    if total == 0:
+    # epoch streams are built lazily (one resident at a time); the lr
+    # decay horizon is estimated from epoch 0's size
+    first = build_epoch_examples(doc_ids, freq, params, rng)
+    if len(first[1]) == 0:
         raise ValueError("no training examples (corpus too small?)")
+    total = params.epochs * len(first[1])
 
     batch = params.batch
     neg = params.negative
@@ -201,10 +207,14 @@ def train_cbow(docs: Sequence[Sequence[str]],
 
         out_vecs = W_out[targets]                          # (B, 1+neg, d)
         scores = jnp.einsum("bd,bkd->bk", h, out_vecs)
-        # valid-row mask: padded tail examples must not update anything
+        # valid-row mask: padded tail examples must not update anything;
+        # negatives that drew the center word are skipped (word2vec.c)
         row_ok = (jnp.arange(cen.shape[0]) < nvalid)[:, None].astype(
             jnp.float32)
-        g = (jax.nn.sigmoid(scores) - labels) * lr * row_ok  # (B, 1+neg)
+        not_center = jnp.concatenate(
+            [jnp.ones_like(cen[:, None], jnp.float32),
+             (negs != cen[:, None]).astype(jnp.float32)], axis=1)
+        g = (jax.nn.sigmoid(scores) - labels) * lr * row_ok * not_center
 
         dW_out = g[..., None] * h[:, None, :]              # (B, 1+neg, d)
         W_out = W_out.at[targets.reshape(-1)].add(
@@ -226,22 +236,31 @@ def train_cbow(docs: Sequence[Sequence[str]],
     W_out = jnp.asarray(w_out)
     key = jax.random.PRNGKey(params.seed)
     seen = jnp.float32(0.0)
-    # pad every epoch to the same batch count: one compile for all epochs
-    nb = max(-(-len(c) // batch) for _, c in epoch_data if len(c)) or 1
-    for ctx_arr, cen_arr in epoch_data:
+    # fixed chunk of nb batches -> ONE compile; epochs stream through it
+    # in chunks, padding the tail with masked no-op rows
+    nb = -(-len(first[1]) // batch)
+    for e in range(params.epochs):
+        ctx_arr, cen_arr = (first if e == 0 else
+                            build_epoch_examples(doc_ids, freq, params, rng))
         n = len(cen_arr)
-        if n == 0:
-            continue
-        pad = nb * batch - n
-        ctx_p = np.concatenate(
-            [ctx_arr, np.full((pad, ctx_arr.shape[1]), -1, np.int32)])
-        cen_p = np.concatenate([cen_arr, np.zeros(pad, np.int32)])
-        nvalid = np.minimum(
-            np.maximum(n - np.arange(nb) * batch, 0), batch
-        ).astype(np.float32)
-        W_in, W_out, key, seen = run_epoch(
-            W_in, W_out, key, seen,
-            ctx_p.reshape(nb, batch, -1), cen_p.reshape(nb, batch), nvalid)
+        w2 = 2 * params.window
+        for c0 in range(0, max(n, 1), nb * batch):
+            chunk_n = min(nb * batch, n - c0)
+            if chunk_n <= 0:
+                break
+            pad = nb * batch - chunk_n
+            ctx_p = np.concatenate(
+                [ctx_arr[c0:c0 + chunk_n],
+                 np.full((pad, w2), -1, np.int32)])
+            cen_p = np.concatenate([cen_arr[c0:c0 + chunk_n],
+                                    np.zeros(pad, np.int32)])
+            nvalid = np.minimum(
+                np.maximum(chunk_n - np.arange(nb) * batch, 0), batch
+            ).astype(np.float32)
+            W_in, W_out, key, seen = run_epoch(
+                W_in, W_out, key, seen,
+                ctx_p.reshape(nb, batch, -1), cen_p.reshape(nb, batch),
+                nvalid)
     return np.asarray(W_in), word_to_id
 
 

@@ -154,7 +154,8 @@ class GPT2LMModel(nn.Module):
                  *, deterministic: bool = True,
                  position_ids: Optional[jnp.ndarray] = None,
                  pad_mask: Optional[jnp.ndarray] = None,
-                 cache: Optional[Dict[str, Any]] = None):
+                 cache: Optional[Dict[str, Any]] = None,
+                 compute_logits: bool = True):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
 
@@ -203,8 +204,13 @@ class GPT2LMModel(nn.Module):
                 new_cache["v"] = new_cache["v"].at[layer].set(new_kv[1])
 
         h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f")(h)
-        logits = jnp.einsum("bld,vd->blv", h, wte.astype(h.dtype),
-                            preferred_element_type=jnp.float32)
+        # encoder-only callers (retriever mean-pooling) skip the [L, V]
+        # vocab projection — at 2 layers and wikiv2's V=8791 the tied-head
+        # einsum is ~half the forward FLOPs, all discarded
+        logits = None
+        if compute_logits:
+            logits = jnp.einsum("bld,vd->blv", h, wte.astype(h.dtype),
+                                preferred_element_type=jnp.float32)
         if cache is not None:
             new_cache["index"] = cache["index"] + L
         return logits, h.astype(jnp.float32), new_cache

@@ -78,8 +78,12 @@ def mine_train_pairs(out_scores: np.ndarray, in_scores: np.ndarray, *,
 def annotate_pool(resources_dir: str, tokenizer, *, threshold: float = 0.8,
                   neg_num: int = 5, gt_topk: int = 10,
                   max_positives: Optional[int] = None,
-                  seed: int = 0) -> PoolAnnotation:
-    """Compute all annotation artifacts from a prepared resources dir."""
+                  seed: int = 0, mesh=None,
+                  shard_axis: str = "data") -> PoolAnnotation:
+    """Compute all annotation artifacts from a prepared resources dir.
+
+    Pass a ``jax.sharding.Mesh`` to shard every Jaccard matrix's pool
+    axis over ``shard_axis`` (reddit-scale multi-chip annotation)."""
     train = read_corpus_lines(os.path.join(resources_dir, "train.link_prediction"))
     test = read_corpus_lines(os.path.join(resources_dir, "test.link_prediction"))
     test_gt = read_corpus_lines(os.path.join(resources_dir, "test_gt.link_prediction"))
@@ -92,10 +96,11 @@ def annotate_pool(resources_dir: str, tokenizer, *, threshold: float = 0.8,
 
     tok2id = tokenizer.token_to_id
     V = len(tokenizer)
-    m_train_out = jaccard_matrix(tr_out, tr_out, tok2id, V)
-    m_train_in = jaccard_matrix(tr_in, tr_in, tok2id, V)
-    m_test = jaccard_matrix(te_out, tr_out, tok2id, V)
-    m_val = jaccard_matrix(va_out, tr_out, tok2id, V)
+    sh = {"mesh": mesh, "shard_axis": shard_axis}
+    m_train_out = jaccard_matrix(tr_out, tr_out, tok2id, V, **sh)
+    m_train_in = jaccard_matrix(tr_in, tr_in, tok2id, V, **sh)
+    m_test = jaccard_matrix(te_out, tr_out, tok2id, V, **sh)
+    m_val = jaccard_matrix(va_out, tr_out, tok2id, V, **sh)
     np.fill_diagonal(m_train_out, 0.0)
     np.fill_diagonal(m_train_in, 0.0)
 

@@ -106,7 +106,8 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
             def encode(ids, pass_rng):
                 _, h, _ = model.apply({"params": p}, ids,
                                       deterministic=False,
-                                      rngs={"dropout": pass_rng})
+                                      rngs={"dropout": pass_rng},
+                                      compute_logits=False)
                 return mean_pool(h, ids, pad_id, pool_mode)
             h_a = encode(anchor, jax.random.fold_in(drop_rng, 0))
             h_p = encode(pos, jax.random.fold_in(drop_rng, 1))
@@ -187,7 +188,8 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
     per-batch buckets)."""
     @jax.jit
     def encode(ids):
-        _, h, _ = model.apply({"params": params}, ids, deterministic=True)
+        _, h, _ = model.apply({"params": params}, ids, deterministic=True,
+                              compute_logits=False)
         return mean_pool(h, ids, tokenizer.pad_id, pool_mode)
 
     out = []

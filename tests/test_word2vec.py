@@ -127,7 +127,7 @@ def test_abs_corpus_features_end_to_end(tmp_path):
     for i in range(4):
         _write_abs(tmp_path, f"960100{i}",
                    "gauge theory strings duality " * 3)
-    params = Word2VecParams(dim=8, window=2, epochs=1, batch=32)
+    params = Word2VecParams(dim=8, window=2, epochs=1, batch=32, sample=0.0)
     feats = abs_corpus_features(str(tmp_path), params)
     assert set(feats) == {f"960100{i}" for i in range(4)}
     assert all(v.shape == (8,) for v in feats.values())
@@ -136,3 +136,20 @@ def test_abs_corpus_features_end_to_end(tmp_path):
 def test_train_cbow_empty_corpus_raises():
     with pytest.raises(ValueError):
         train_cbow([], Word2VecParams())
+
+
+def test_cli_word2vec_node_ids_emits_loadable_npy(tmp_path):
+    """--node-ids produces a plain .npy in node-row order consumable by
+    --node-features (missing ids -> zero rows)."""
+    from rag4dyg_tpu.cli import main
+    for i in range(3):
+        _write_abs(tmp_path, f"960100{i}", "gauge theory strings " * 4)
+    order = tmp_path / "node_order.txt"
+    order.write_text("9601001\nMISSING\n9601000\n")
+    out = tmp_path / "node_features.npy"
+    main(["word2vec", "--abs-dir", str(tmp_path), "--out", str(out),
+          "--node-ids", str(order), "--dim", "8", "--w2v-epochs", "1",
+          "--sample", "0"])
+    feats = np.load(out)
+    assert feats.shape == (3, 8)
+    assert np.all(feats[1] == 0) and not np.all(feats[0] == 0)
