@@ -1,0 +1,83 @@
+"""Retriever train-step unit coverage: the jitted triple step (device
+pool gather, five logits-free encoder passes, CLtime + α·info-NCE) must
+run, return finite losses, and update only via valid steps in the epoch
+scan (reference hot loop: train/train_retriever.py:162-225)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag4dyg_tpu.config import ModelConfig
+from rag4dyg_tpu.models import GPT2LMModel, init_params
+from rag4dyg_tpu.train.retriever import (make_retriever_epoch_fn,
+                                         make_retriever_train_step,
+                                         mean_pool)
+from rag4dyg_tpu.train.state import linear_warmup_linear_decay, make_optimizer
+
+V, L, N, B = 64, 16, 20, 4
+
+
+def _setup(pool_mode="masked"):
+    cfg = ModelConfig(vocab_size=V, n_layer=2, n_head=2, n_embd=32,
+                      n_positions=64)
+    model = GPT2LMModel(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(params, linear_warmup_linear_decay(1e-4, 0, 100))
+    rng = np.random.RandomState(0)
+    pool = jnp.asarray(rng.randint(1, V - 2, (N, L)), jnp.int32)
+    idx = jnp.asarray(rng.randint(0, N, (B, 3)), jnp.int32)
+    times = jnp.asarray(rng.rand(B, 3), jnp.float32)
+    return cfg, model, params, opt, pool, idx, times
+
+
+def test_train_step_finite_and_updates():
+    _, model, params, opt, pool, idx, times = _setup()
+    step = make_retriever_train_step(
+        model, opt, alpha=1.0, temperature=0.1, lambda_decay=0.1,
+        eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0)
+    opt_state = opt.init(params)
+    new_p, _, loss, cl, aug = step(params, opt_state, pool, idx,
+                                   times[:, 0], times[:, 1], times[:, 2],
+                                   jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(cl) + float(aug),
+                               rtol=1e-5)
+    # parameters actually moved
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, new_p))
+    assert delta > 0
+
+
+def test_epoch_scan_masks_invalid_steps():
+    """A padded no-op step (valid=False) must leave params bit-identical."""
+    _, model, params, opt, pool, idx, times = _setup()
+    epoch_fn, _ = make_retriever_epoch_fn(
+        model, opt, alpha=0.5, temperature=0.1, lambda_decay=0.1,
+        eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0)
+    opt_state = opt.init(params)
+    rngs = jnp.asarray(jax.random.split(jax.random.PRNGKey(2), 2))
+    xs = (jnp.stack([idx, idx]), jnp.stack([times[:, 0]] * 2),
+          jnp.stack([times[:, 1]] * 2), jnp.stack([times[:, 2]] * 2), rngs)
+    p_all_invalid, _, loss0 = epoch_fn(params, opt_state, pool, *xs,
+                                       jnp.asarray([False, False]))
+    same = jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), params, p_all_invalid))
+    assert same and float(loss0) == 0.0
+    p_one_valid, _, loss1 = epoch_fn(params, opt_state, pool, *xs,
+                                     jnp.asarray([True, False]))
+    assert float(loss1) != 0.0
+    moved = not jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), params, p_one_valid))
+    assert moved
+
+
+def test_mean_pool_modes():
+    """masked averages real tokens; padded averages the whole row
+    (reference torch.mean quirk, train_retriever.py:183-185)."""
+    h = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 4, 6))
+    ids = jnp.asarray([[5, 7, 0, 0]], jnp.int32)  # pad_id = 0
+    masked = mean_pool(h, ids, 0, "masked")
+    padded = mean_pool(h, ids, 0, "padded")
+    np.testing.assert_allclose(np.asarray(masked)[0], h[0, :2].mean(0))
+    np.testing.assert_allclose(np.asarray(padded)[0], h[0].mean(0))
