@@ -1,0 +1,82 @@
+"""Pool-build (Jaccard annotation) benchmark: device matmul engine vs the
+reference's pure-Python O(N²) pair loop (retrieval_data_annotation.py:36-41).
+
+Builds the dominant train_out x train_out matrix for a prepared corpus at
+reference scale and times both paths; verifies bit-equality. Run on the
+TPU (default platform) or CPU (--cpu).
+
+    python benchmarks/pool_build.py --resources runs/wikiv2/resources \
+        --timestep 15 [--cpu] [--skip-reference]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def reference_matrix(sets):
+    """Transliteration of the reference loop (same asymptotics/ops)."""
+    import numpy as np
+    n = len(sets)
+    out = np.zeros((n, n))
+    for i in range(n):
+        si = sets[i]
+        for j in range(n):
+            sj = sets[j]
+            if len(si) == 0 or len(sj) == 0:
+                continue
+            out[i, j] = len(si & sj) / len(si | sj)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resources", required=True)
+    ap.add_argument("--timestep", type=int, required=True)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from rag4dyg_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+
+    import numpy as np
+    from rag4dyg_tpu.data.serialize import read_corpus_lines
+    from rag4dyg_tpu.data.vocab import Tokenizer
+    from rag4dyg_tpu.pool.jaccard import jaccard_matrix, parse_inout_sets
+
+    train = read_corpus_lines(
+        os.path.join(args.resources, "train.link_prediction"))
+    tok = Tokenizer.from_vocab_file(os.path.join(args.resources, "vocab.json"),
+                                    timestep=args.timestep)
+    _, out_sets = parse_inout_sets(train, train)
+
+    # warm (compile) on a slice, then time the full matrix
+    jaccard_matrix(out_sets[:64], out_sets, tok.token_to_id, len(tok))
+    t0 = time.perf_counter()
+    ours = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok))
+    t_ours = time.perf_counter() - t0
+
+    result = {"metric": "pool_build_seconds", "N": len(out_sets),
+              "platform": jax.devices()[0].platform,
+              "value": round(t_ours, 2), "unit": "s"}
+    if not args.skip_reference:
+        t0 = time.perf_counter()
+        ref = reference_matrix(out_sets)
+        t_ref = time.perf_counter() - t0
+        assert np.array_equal(ours, ref), "MISMATCH vs reference loop"
+        result["reference_seconds"] = round(t_ref, 2)
+        result["vs_baseline"] = round(t_ref / t_ours, 1)
+        result["bit_equal"] = True
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
