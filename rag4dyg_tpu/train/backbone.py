@@ -202,6 +202,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     epoch = start_epoch - 1  # meta value if the loop never runs (resume done)
     for epoch in range(start_epoch, epochs):
         # per-epoch derived rngs so a resumed run replays the same stream
+        t_epoch = time.time()
         epoch_rng = jax.random.fold_in(base_rng, 1 + epoch)
         np_rng = np.random.RandomState((seed + 7919 * (epoch + 1)) % 2**31)
         order = np_rng.permutation(len(examples))
@@ -230,16 +231,21 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         n_batches = n_full
         global_step += n_full
 
+        t_train = time.time() - t_epoch
         val_metrics = retry_transient(
             generation_eval, model, params, tokenizer, val_lines, val_gt,
             node_vocab, "val", batch_size=eval_batch_size)
+        t_eval = time.time() - t_epoch - t_train
         score = val_metrics["NDCG"]
-        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f jaccard %.4f",
+        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f jaccard %.4f | "
+                    "train %.0fs eval %.0fs",
                     epoch, epoch_loss / max(1, n_batches), score,
-                    val_metrics["jaccard"])
+                    val_metrics["jaccard"], t_train, t_eval)
         runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, n_batches),
                                    "val_ndcg5": score,
-                                   "val_jaccard": val_metrics["jaccard"]})
+                                   "val_jaccard": val_metrics["jaccard"],
+                                   "train_seconds": round(t_train, 1),
+                                   "eval_seconds": round(t_eval, 1)})
 
         # stage-1 early stopping: ties save and reset (main_SimpleDyG.py:306-328)
         if best_score is None or score >= best_score:

@@ -360,6 +360,7 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     B = gcfg.batch_size
     for epoch in range(epochs):
+        t_epoch = time.time()
         order = np_rng.permutation(n)
         # drop_last=True like the reference train loader
         epoch_loss, nb = 0.0, 0
@@ -402,14 +403,19 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 epoch_loss += float(loss)
                 nb += 1
 
+        t_train = time.time() - t_epoch
         val_metrics = retry_transient(evaluate, params, "val")
+        t_eval = time.time() - t_epoch - t_train
         score = val_metrics["NDCG"]
-        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f", epoch,
-                    epoch_loss / max(1, nb), score)
+        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f | "
+                    "train %.0fs eval %.0fs", epoch,
+                    epoch_loss / max(1, nb), score, t_train, t_eval)
         runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
                                    "val_ndcg5": score,
                                    "val_jaccard": val_metrics["jaccard"],
-                                   "val_recall5": val_metrics["R"]})
+                                   "val_recall5": val_metrics["R"],
+                                   "train_seconds": round(t_train, 1),
+                                   "eval_seconds": round(t_eval, 1)})
 
         if epoch > gcfg.warmup_epochs:
             if best_score is None or score > best_score:

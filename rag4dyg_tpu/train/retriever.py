@@ -401,6 +401,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     def chunk_steps(b: int) -> int:
         return max(8, int(128 * (LB / b) ** 2))
     for epoch in range(epochs):
+        t_epoch = time.time()
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
         n_full = n_pairs // B
@@ -452,14 +453,19 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             epoch_loss += float(loss)
             nb += 1
 
+        t_train = time.time() - t_epoch
         val_metrics = retry_transient(evaluate, params, "val",
                                        write_best=False)
+        t_eval = time.time() - t_epoch - t_train
         score = val_metrics["hit@3"]
-        logger.info("epoch %d | loss %.4f | val hit@3 %.4f", epoch,
-                    epoch_loss / max(1, nb), score)
+        logger.info("epoch %d | loss %.4f | val hit@3 %.4f | "
+                    "train %.0fs eval %.0fs", epoch,
+                    epoch_loss / max(1, nb), score, t_train, t_eval)
         runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
                                    "val_hit1": val_metrics["hit@1"],
-                                   "val_hit3": score})
+                                   "val_hit3": score,
+                                   "train_seconds": round(t_train, 1),
+                                   "eval_seconds": round(t_eval, 1)})
 
         last_params = params
         if epoch > rcfg.warmup_epochs:  # reference skips epoch<=warmup
