@@ -367,6 +367,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         # bucketed pool embedding (masked mean is padding-invariant, so
         # bucketing is exact; 'padded' mode becomes bucket-dependent the
         # way the reference was batch-dependent)
+        t0 = time.time()
         pool_emb = None
         for b in buckets:
             rows = np.where(line_bucket == b)[0]
@@ -378,14 +379,19 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 pool_emb = np.zeros((len(pool_examples), emb.shape[1]),
                                     np.float32)
             pool_emb[rows] = emb
+        t1 = time.time()
         index = DenseIndex(pool_emb)
         scores = score_pool(model, params, tokenizer, lines, index,
                             block_size=spec.block_size,
                             batch_size=eval_batch_size,
                             pool_mode=rcfg.pool_mode)
+        t2 = time.time()
         if write_best:
             write_gen_files(scores, gen_out_dir, split)
-        return retrieval_metrics(scores, gt, batch_size=eval_batch_size)
+        out = retrieval_metrics(scores, gt, batch_size=eval_batch_size)
+        logger.info("eval[%s]: pool-embed %.0fs score %.0fs rest %.0fs",
+                    split, t1 - t0, t2 - t1, time.time() - t2)
+        return out
 
     best_score, best_params, best_epoch, counter = None, params, -1, 0
     last_params = params
