@@ -37,7 +37,7 @@ import optax
 
 from rag4dyg_tpu.config import DatasetSpec, ModelConfig
 from rag4dyg_tpu.data.serialize import read_corpus_lines
-from rag4dyg_tpu.data.vocab import Tokenizer, pad_batch
+from rag4dyg_tpu.data.vocab import Tokenizer
 from rag4dyg_tpu.eval.metrics import hit_rate_at_k
 from rag4dyg_tpu.models import GPT2LMModel, init_params
 from rag4dyg_tpu.models.augment import augment_views
@@ -184,36 +184,44 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
 
     Pass ``ids_array`` (a device-resident padded [N, L] id matrix) to
     skip tokenization and host->device transfer entirely; otherwise
-    ``lines`` are tokenized and padded (to ``length`` if given, else
-    per-batch buckets)."""
+    ``lines`` are tokenized and padded (to ``length`` if given, else one
+    shared bucket rounded up from the longest line).
+
+    The whole corpus goes through ONE jitted ``lax.scan`` over fixed-size
+    row chunks — a single device dispatch — instead of one dispatch per
+    batch: through the remote relay a dispatch costs seconds, and the
+    per-batch loop made pool embedding the dominant eval cost. With
+    ``pool_mode='padded'`` the mean divides by this call's padded length
+    (the reference divides by each torch batch's max — same class of
+    batch-shape dependence, documented)."""
     @jax.jit
-    def encode(ids):
-        _, h, _ = model.apply({"params": params}, ids, deterministic=True,
-                              compute_logits=False)
-        return mean_pool(h, ids, tokenizer.pad_id, pool_mode)
+    def encode_all(ids3):
+        def body(_, ids):
+            _, h, _ = model.apply({"params": params}, ids,
+                                  deterministic=True, compute_logits=False)
+            return None, mean_pool(h, ids, tokenizer.pad_id, pool_mode)
+        _, embs = jax.lax.scan(body, None, ids3)
+        return embs  # [C, B, D]
 
-    out = []
-    if ids_array is not None:
-        n = ids_array.shape[0]
-        for start in range(0, n, batch_size):
-            chunk = jax.lax.dynamic_slice_in_dim(
-                ids_array, start, min(batch_size, n - start), axis=0)
-            out.append(np.asarray(encode(chunk)))
-        return np.concatenate(out, axis=0)
+    if ids_array is None:
+        # left-truncate (reference truncation side) to the fixed length
+        # when one is forced, so pad_to_length never right-truncates
+        examples = tokenizer.encode_batch(
+            lines, max_len=block_size if length is None else min(block_size,
+                                                                 length))
+        L = length or max(1, -(-max((len(s) for s in examples), default=1)
+                               // bucket) * bucket)
+        ids_array = jnp.asarray(pad_to_length(examples, tokenizer.pad_id, L))
 
-    # left-truncate (reference truncation side) to the fixed length when
-    # one is forced, so pad_to_length never right-truncates
-    examples = tokenizer.encode_batch(
-        lines, max_len=block_size if length is None else min(block_size,
-                                                             length))
-    for start in range(0, len(examples), batch_size):
-        chunk = examples[start:start + batch_size]
-        if length is not None:
-            batch = pad_to_length(chunk, tokenizer.pad_id, length)
-        else:
-            batch = pad_batch(chunk, tokenizer.pad_id, multiple_of=bucket)
-        out.append(np.asarray(encode(jnp.asarray(batch))))
-    return np.concatenate(out, axis=0)
+    n, L = ids_array.shape
+    C = -(-n // batch_size)
+    pad = C * batch_size - n
+    if pad:
+        ids_array = jnp.concatenate(
+            [ids_array,
+             jnp.full((pad, L), tokenizer.pad_id, ids_array.dtype)])
+    embs = encode_all(ids_array.reshape(C, batch_size, L))
+    return np.asarray(embs).reshape(C * batch_size, -1)[:n]
 
 
 def score_pool(model: GPT2LMModel, params, tokenizer: Tokenizer,
@@ -402,10 +410,11 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     B = rcfg.batch_size
     # cap the steps per scan dispatch: the remote worker kills dispatches
     # running longer than ~100 s ("TPU worker process crashed or
-    # restarted"), so chunk sizes scale inversely with the quadratic
-    # attention cost of the bucket (measured ~0.6 s/step at L=512, B=128)
+    # restarted"). At ~0.7 s/step worst case (L=512, B=128) a 32-step
+    # chunk stays ~4x under the cap; relay round-trips cost seconds, so
+    # bigger chunks directly cut epoch wall-clock.
     def chunk_steps(b: int) -> int:
-        return max(8, int(128 * (LB / b) ** 2))
+        return max(32, int(128 * (LB / b)))
     for epoch in range(epochs):
         t_epoch = time.time()
         order = np_rng.permutation(n_pairs)
