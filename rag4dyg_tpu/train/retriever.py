@@ -174,12 +174,28 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
     return epoch, step
 
 
+def make_corpus_encoder(model: GPT2LMModel, pad_id: int,
+                        pool_mode: str = "masked"):
+    """Persistent jitted scan-encoder: params x [C, B, L] -> [C, B, D].
+    Build ONCE per run and thread through ``embed_corpus`` so repeated
+    evals reuse the jit instance instead of retracing every call."""
+    @jax.jit
+    def encode_all(params, ids3):
+        def body(_, ids):
+            _, h, _ = model.apply({"params": params}, ids,
+                                  deterministic=True, compute_logits=False)
+            return None, mean_pool(h, ids, pad_id, pool_mode)
+        _, embs = jax.lax.scan(body, None, ids3)
+        return embs  # [C, B, D]
+    return encode_all
+
+
 def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
                  lines: Optional[List[str]] = None, *,
                  ids_array: Optional[jnp.ndarray] = None,
                  block_size: int = 512, length: Optional[int] = None,
                  batch_size: int = 64, bucket: int = 64,
-                 pool_mode: str = "masked") -> np.ndarray:
+                 pool_mode: str = "masked", encode_all=None) -> np.ndarray:
     """Mean-pooled hidden-state embeddings for (history) lines.
 
     Pass ``ids_array`` (a device-resident padded [N, L] id matrix) to
@@ -194,14 +210,8 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
     ``pool_mode='padded'`` the mean divides by this call's padded length
     (the reference divides by each torch batch's max — same class of
     batch-shape dependence, documented)."""
-    @jax.jit
-    def encode_all(ids3):
-        def body(_, ids):
-            _, h, _ = model.apply({"params": params}, ids,
-                                  deterministic=True, compute_logits=False)
-            return None, mean_pool(h, ids, tokenizer.pad_id, pool_mode)
-        _, embs = jax.lax.scan(body, None, ids3)
-        return embs  # [C, B, D]
+    if encode_all is None:
+        encode_all = make_corpus_encoder(model, tokenizer.pad_id, pool_mode)
 
     if ids_array is None:
         # left-truncate (reference truncation side) to the fixed length
@@ -220,19 +230,20 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
         ids_array = jnp.concatenate(
             [ids_array,
              jnp.full((pad, L), tokenizer.pad_id, ids_array.dtype)])
-    embs = encode_all(ids_array.reshape(C, batch_size, L))
+    embs = encode_all(params, ids_array.reshape(C, batch_size, L))
     return np.asarray(embs).reshape(C * batch_size, -1)[:n]
 
 
 def score_pool(model: GPT2LMModel, params, tokenizer: Tokenizer,
                query_lines: List[str], index: DenseIndex, *,
                block_size: int = 512, length: Optional[int] = None,
-               batch_size: int = 32,
-               pool_mode: str = "masked") -> np.ndarray:
+               batch_size: int = 32, pool_mode: str = "masked",
+               encode_all=None) -> np.ndarray:
     """[n_queries, n_pool] rescaled-cosine scores."""
     q = embed_corpus(model, params, tokenizer, query_lines,
                      block_size=block_size, length=length,
-                     batch_size=batch_size, pool_mode=pool_mode)
+                     batch_size=batch_size, pool_mode=pool_mode,
+                     encode_all=encode_all)
     return np.asarray(index.score(q))
 
 
@@ -369,6 +380,9 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     buckets = sorted(set(line_bucket.tolist()))
     pool_views = {b: pool_dev[:, :b] for b in buckets}
 
+    corpus_encoder = make_corpus_encoder(model, tokenizer.pad_id,
+                                         rcfg.pool_mode)
+
     def evaluate(params, split: str, write_best: bool) -> Dict:
         lines = val_lines if split == "val" else test_lines
         gt = val_gt if split == "val" else test_gt
@@ -382,7 +396,8 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             emb = embed_corpus(model, params, tokenizer,
                                ids_array=jnp.take(pool_views[b],
                                                   jnp.asarray(rows), axis=0),
-                               pool_mode=rcfg.pool_mode)
+                               pool_mode=rcfg.pool_mode,
+                               encode_all=corpus_encoder)
             if pool_emb is None:
                 pool_emb = np.zeros((len(pool_examples), emb.shape[1]),
                                     np.float32)
@@ -392,7 +407,8 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         scores = score_pool(model, params, tokenizer, lines, index,
                             block_size=spec.block_size,
                             batch_size=eval_batch_size,
-                            pool_mode=rcfg.pool_mode)
+                            pool_mode=rcfg.pool_mode,
+                            encode_all=corpus_encoder)
         t2 = time.time()
         if write_best:
             write_gen_files(scores, gen_out_dir, split)
