@@ -64,9 +64,22 @@ def main():
     ours = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok))
     t_ours = time.perf_counter() - t0
 
+    # device-compute-only (no [N, N] device->host transfer): through the
+    # remote relay the result download dominates; on a directly-attached
+    # TPU host it is ~free, so report both
+    from rag4dyg_tpu.pool.jaccard import _host_onehot, _intersection_scan
+    ids = [[tok.token_to_id(t) for t in s] for s in out_sets]
+    chunks = -(-len(tok) // 8192)
+    oh = jax.device_put(_host_onehot(ids, chunks * 8192))
+    jax.block_until_ready(oh)
+    t0 = time.perf_counter()
+    jax.block_until_ready(_intersection_scan(oh, oh, chunks, 8192))
+    t_compute = time.perf_counter() - t0
+
     result = {"metric": "pool_build_seconds", "N": len(out_sets),
               "platform": jax.devices()[0].platform,
-              "value": round(t_ours, 2), "unit": "s"}
+              "value": round(t_ours, 2), "unit": "s",
+              "device_compute_seconds": round(t_compute, 2)}
     if not args.skip_reference:
         t0 = time.perf_counter()
         ref = reference_matrix(out_sets)

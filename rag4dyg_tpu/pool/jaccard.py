@@ -10,19 +10,22 @@ reddit scale. Here each token set becomes a one-hot row and
 
 Counts are exact in float32 (set sizes ≪ 2²⁴); the final division happens
 in float64 on host so the resulting matrix is bit-identical to the
-reference's ``len(a & b) / len(a | b)``. The vocabulary axis is chunked
-inside one jitted ``lax.scan`` (single compile, accumulator stays on
-device), the query axis is row-blocked to bound device memory, and the
-pool axis can be sharded over a mesh axis — each device one-hots only its
-pool rows and the chunk matmul emits a column-sharded block, so the full
-[N, M] accumulator never materializes on one chip (SURVEY.md §5.7:
-annotation is the long-context pressure point at reddit scale).
+reference's ``len(a & b) / len(a | b)``. Membership matrices are built as
+uint8 on the HOST (scatter serializes on TPU — measured slower than the
+reference's own Python loop) and shipped once; the vocabulary axis is
+then chunked inside one jitted ``lax.scan`` (single compile, f32 cast on
+the VPU, accumulator stays on device), the query axis is row-blocked to
+bound device memory, and the pool axis can be sharded over a mesh axis —
+each device holds only its pool rows and the chunk matmul emits a
+column-sharded block, so the full [N, M] accumulator never materializes
+on one chip (SURVEY.md §5.7: annotation is the long-context pressure
+point at reddit scale).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -48,48 +51,44 @@ def parse_inout_sets(data_lines: Sequence[str], gt_lines: Sequence[str]
     return in_sets, out_sets
 
 
-def _pad_sets(sets: Sequence[Sequence[int]]) -> Tuple[np.ndarray, np.ndarray]:
-    """Ragged id sets -> (ids [N, S], valid [N, S])."""
-    S = max(1, max((len(s) for s in sets), default=1))
-    N = len(sets)
-    ids = np.zeros((N, S), np.int32)
-    valid = np.zeros((N, S), bool)
-    for i, s in enumerate(sets):
-        s = list(s)
-        ids[i, : len(s)] = s
-        valid[i, : len(s)] = True
-    return ids, valid
-
-
-def _onehot_chunk(ids: jnp.ndarray, valid: jnp.ndarray, v0: jnp.ndarray,
-                  width: int) -> jnp.ndarray:
-    """One-hot membership over vocab slice [v0, v0+width) from padded id
-    sets. ``v0`` is traced (the scan carries it), ``width`` is static."""
-    in_chunk = jnp.logical_and(valid, jnp.logical_and(ids >= v0,
-                                                      ids < v0 + width))
-    col = jnp.where(in_chunk, ids - v0, width)  # width = drop slot
-    n = ids.shape[0]
-    oh = jnp.zeros((n, width + 1), jnp.float32)
-    oh = oh.at[jnp.arange(n)[:, None], col].max(1.0)
-    return oh[:, :width]
+def _host_onehot(id_sets: Sequence[Sequence[int]],
+                 vocab_size: int) -> np.ndarray:
+    """Dense uint8 membership matrix [N, V], built with one vectorized
+    numpy assignment. Scatter belongs on the host: a TPU scatter
+    serializes (the original per-chunk ``.at[].max`` one-hot made the
+    device path slower than the reference's Python loop); a uint8 upload
+    is V/32 the size of an f32 one-hot and casts to f32 on the VPU."""
+    n = len(id_sets)
+    oh = np.zeros((n, vocab_size), np.uint8)
+    lens = np.fromiter((len(s) for s in id_sets), np.int64, n)
+    if lens.sum():
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.fromiter((t for s in id_sets for t in s), np.int64,
+                           lens.sum())
+        oh[rows, cols] = 1
+    return oh
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "width"))
-def _intersection_scan(a_ids, a_valid, b_ids, b_valid, n_chunks: int,
-                       width: int) -> jnp.ndarray:
+def _intersection_scan(a_oh, b_oh, n_chunks: int, width: int) -> jnp.ndarray:
     """All vocab chunks inside one jitted scan; the [N, M] accumulator
-    never leaves the device until the final transfer."""
+    never leaves the device until the final transfer. Counts are exact:
+    0/1 values, f32 accumulation on the MXU."""
 
     def body(acc, c):
-        v0 = c * width
-        a = _onehot_chunk(a_ids, a_valid, v0, width)
-        b = _onehot_chunk(b_ids, b_valid, v0, width)
-        return acc + jnp.dot(a, b.T,
+        a = jax.lax.dynamic_slice_in_dim(a_oh, c * width, width, 1)
+        b = jax.lax.dynamic_slice_in_dim(b_oh, c * width, width, 1)
+        return acc + jnp.dot(a.astype(jnp.float32),
+                             b.astype(jnp.float32).T,
                              preferred_element_type=jnp.float32), None
 
-    acc0 = jnp.zeros((a_ids.shape[0], b_ids.shape[0]), jnp.float32)
+    acc0 = jnp.zeros((a_oh.shape[0], b_oh.shape[0]), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
-    return acc
+    # counts are bounded by the max set size (<= sequence length << 2^16);
+    # uint16 halves the device->host transfer, which dominates wall-clock
+    # through the remote relay (measured 266 s for one f32 8556^2 matrix
+    # vs 2.3 s of device compute)
+    return acc.astype(jnp.uint16)
 
 
 def intersection_counts(a_sets: Sequence[Sequence[int]],
@@ -106,30 +105,27 @@ def intersection_counts(a_sets: Sequence[Sequence[int]],
     local (queries are replicated; no cross-device traffic until the host
     gather at the end).
     """
-    a_ids, a_valid = _pad_sets(a_sets)
-    b_ids, b_valid = _pad_sets(b_sets)
     n_chunks = max(1, -(-vocab_size // vocab_chunk))
+    v_pad = n_chunks * vocab_chunk
+    a_oh = _host_onehot(a_sets, v_pad)
+    b_oh = _host_onehot(b_sets, v_pad)
 
-    bj, bv = jnp.asarray(b_ids), jnp.asarray(b_valid)
+    bj = jnp.asarray(b_oh)
     if mesh is not None:
         n_sh = mesh.shape[shard_axis]
         pad_m = (-len(b_sets)) % n_sh
         if pad_m:  # pad pool rows so the shard axis divides evenly
             bj = jnp.concatenate(
-                [bj, jnp.zeros((pad_m, bj.shape[1]), bj.dtype)])
-            bv = jnp.concatenate(
-                [bv, jnp.zeros((pad_m, bv.shape[1]), bv.dtype)])
-        sh = NamedSharding(mesh, P(shard_axis, None))
-        bj, bv = jax.device_put(bj, sh), jax.device_put(bv, sh)
+                [bj, jnp.zeros((pad_m, v_pad), bj.dtype)])
+        bj = jax.device_put(bj, NamedSharding(mesh, P(shard_axis, None)))
 
-    out = np.zeros((len(a_sets), len(b_sets)), np.float32)
+    out = np.zeros((len(a_sets), len(b_sets)), np.int64)
     for r0 in range(0, len(a_sets), row_block):
         r1 = min(r0 + row_block, len(a_sets))
-        block = _intersection_scan(jnp.asarray(a_ids[r0:r1]),
-                                   jnp.asarray(a_valid[r0:r1]),
-                                   bj, bv, n_chunks, vocab_chunk)
+        block = _intersection_scan(jnp.asarray(a_oh[r0:r1]), bj,
+                                   n_chunks, vocab_chunk)
         out[r0:r1] = np.asarray(block)[:, :len(b_sets)]
-    return out.astype(np.int64)
+    return out
 
 
 def jaccard_matrix(a_sets: Sequence[set], b_sets: Sequence[set],
