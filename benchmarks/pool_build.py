@@ -18,21 +18,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def reference_matrix(sets):
-    """Transliteration of the reference loop (same asymptotics/ops)."""
-    import numpy as np
-    n = len(sets)
-    out = np.zeros((n, n))
-    for i in range(n):
-        si = sets[i]
-        for j in range(n):
-            sj = sets[j]
-            if len(si) == 0 or len(sj) == 0:
-                continue
-            out[i, j] = len(si & sj) / len(si | sj)
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--resources", required=True)
@@ -50,7 +35,10 @@ def main():
     import numpy as np
     from rag4dyg_tpu.data.serialize import read_corpus_lines
     from rag4dyg_tpu.data.vocab import Tokenizer
-    from rag4dyg_tpu.pool.jaccard import jaccard_matrix, parse_inout_sets
+    from rag4dyg_tpu.pool.jaccard import (DEFAULT_VOCAB_CHUNK, _host_onehot,
+                                          _intersection_scan, jaccard_matrix,
+                                          parse_inout_sets,
+                                          reference_pairs_matrix)
 
     train = read_corpus_lines(
         os.path.join(args.resources, "train.link_prediction"))
@@ -58,8 +46,9 @@ def main():
                                     timestep=args.timestep)
     _, out_sets = parse_inout_sets(train, train)
 
-    # warm (compile) on a slice, then time the full matrix
-    jaccard_matrix(out_sets[:64], out_sets, tok.token_to_id, len(tok))
+    # warm at the REAL shapes (a first run compiles every row-block shape),
+    # then time the steady-state end-to-end call
+    jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok))
     t0 = time.perf_counter()
     ours = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok))
     t_ours = time.perf_counter() - t0
@@ -67,13 +56,15 @@ def main():
     # device-compute-only (no [N, N] device->host transfer): through the
     # remote relay the result download dominates; on a directly-attached
     # TPU host it is ~free, so report both
-    from rag4dyg_tpu.pool.jaccard import _host_onehot, _intersection_scan
     ids = [[tok.token_to_id(t) for t in s] for s in out_sets]
-    chunks = -(-len(tok) // 8192)
-    oh = jax.device_put(_host_onehot(ids, chunks * 8192))
+    chunks = -(-len(tok) // DEFAULT_VOCAB_CHUNK)
+    oh = jax.device_put(_host_onehot(ids, chunks * DEFAULT_VOCAB_CHUNK))
     jax.block_until_ready(oh)
+    jax.block_until_ready(  # warm the full-shape compile
+        _intersection_scan(oh, oh, chunks, DEFAULT_VOCAB_CHUNK))
     t0 = time.perf_counter()
-    jax.block_until_ready(_intersection_scan(oh, oh, chunks, 8192))
+    jax.block_until_ready(
+        _intersection_scan(oh, oh, chunks, DEFAULT_VOCAB_CHUNK))
     t_compute = time.perf_counter() - t0
 
     result = {"metric": "pool_build_seconds", "N": len(out_sets),
@@ -82,7 +73,7 @@ def main():
               "device_compute_seconds": round(t_compute, 2)}
     if not args.skip_reference:
         t0 = time.perf_counter()
-        ref = reference_matrix(out_sets)
+        ref = reference_pairs_matrix(out_sets, out_sets)
         t_ref = time.perf_counter() - t0
         assert np.array_equal(ours, ref), "MISMATCH vs reference loop"
         result["reference_seconds"] = round(t_ref, 2)

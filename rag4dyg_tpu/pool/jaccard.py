@@ -33,6 +33,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+DEFAULT_VOCAB_CHUNK = 8192
+
+
+def reference_pairs_matrix(a_sets: Sequence[set],
+                           b_sets: Sequence[set]) -> np.ndarray:
+    """Transliteration oracle of the reference's pure-Python pair loop
+    (retrieval_data_annotation.py:5-15,36-41) — the single source of
+    truth used by both the parity tests and benchmarks."""
+    out = np.zeros((len(a_sets), len(b_sets)))
+    for i, si in enumerate(a_sets):
+        for j, sj in enumerate(b_sets):
+            if len(si) == 0 or len(sj) == 0:
+                continue
+            out[i, j] = len(si & sj) / len(si | sj)
+    return out
+
+
 def parse_inout_sets(data_lines: Sequence[str], gt_lines: Sequence[str]
                      ) -> Tuple[List[set], List[set]]:
     """Per-line (history token set, prediction token set).
@@ -93,7 +110,7 @@ def _intersection_scan(a_oh, b_oh, n_chunks: int, width: int) -> jnp.ndarray:
 
 def intersection_counts(a_sets: Sequence[Sequence[int]],
                         b_sets: Sequence[Sequence[int]],
-                        vocab_size: int, vocab_chunk: int = 8192,
+                        vocab_size: int, vocab_chunk: int = DEFAULT_VOCAB_CHUNK,
                         row_block: int = 8192,
                         mesh: Optional[Mesh] = None,
                         shard_axis: str = "data") -> np.ndarray:
@@ -130,7 +147,7 @@ def intersection_counts(a_sets: Sequence[Sequence[int]],
 
 def jaccard_matrix(a_sets: Sequence[set], b_sets: Sequence[set],
                    token_to_id, vocab_size: int,
-                   vocab_chunk: int = 8192,
+                   vocab_chunk: int = DEFAULT_VOCAB_CHUNK,
                    mesh: Optional[Mesh] = None,
                    shard_axis: str = "data") -> np.ndarray:
     """Dense pairwise Jaccard similarity, float64, bit-equal to the

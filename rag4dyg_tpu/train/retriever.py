@@ -180,13 +180,18 @@ def make_corpus_encoder(model: GPT2LMModel, pad_id: int,
     Build ONCE per run and thread through ``embed_corpus`` so repeated
     evals reuse the jit instance instead of retracing every call."""
     @jax.jit
-    def encode_all(params, ids3):
+    def encode_jit(params, ids3):
         def body(_, ids):
             _, h, _ = model.apply({"params": params}, ids,
                                   deterministic=True, compute_logits=False)
             return None, mean_pool(h, ids, pad_id, pool_mode)
         _, embs = jax.lax.scan(body, None, ids3)
         return embs  # [C, B, D]
+
+    def encode_all(params, ids3):
+        return encode_jit(params, ids3)
+    encode_all.pool_mode = pool_mode
+    encode_all.pad_id = pad_id
     return encode_all
 
 
@@ -212,6 +217,14 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
     batch-shape dependence, documented)."""
     if encode_all is None:
         encode_all = make_corpus_encoder(model, tokenizer.pad_id, pool_mode)
+    else:
+        # a pre-built encoder bakes in its pool_mode/pad_id; a silent
+        # mismatch would produce wrong embeddings with no error
+        assert getattr(encode_all, "pool_mode", pool_mode) == pool_mode, (
+            f"encoder pooled {getattr(encode_all, 'pool_mode', None)!r}, "
+            f"caller asked {pool_mode!r}")
+        assert getattr(encode_all, "pad_id",
+                       tokenizer.pad_id) == tokenizer.pad_id
 
     if ids_array is None:
         # left-truncate (reference truncation side) to the fixed length
@@ -379,6 +392,13 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     line_bucket = np.minimum(-(-pool_lens_np // LB) * LB, pool_len)
     buckets = sorted(set(line_bucket.tolist()))
     pool_views = {b: pool_dev[:, :b] for b in buckets}
+    # per-bucket row sets and gathered id blocks are fixed for the whole
+    # run — gather ONCE, not per eval (each device op costs a relay
+    # round-trip)
+    bucket_rows = {b: np.where(line_bucket == b)[0] for b in buckets}
+    bucket_pool_ids = {
+        b: jnp.take(pool_views[b], jnp.asarray(bucket_rows[b]), axis=0)
+        for b in buckets}
 
     corpus_encoder = make_corpus_encoder(model, tokenizer.pad_id,
                                          rcfg.pool_mode)
@@ -392,10 +412,9 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         t0 = time.time()
         pool_emb = None
         for b in buckets:
-            rows = np.where(line_bucket == b)[0]
+            rows = bucket_rows[b]
             emb = embed_corpus(model, params, tokenizer,
-                               ids_array=jnp.take(pool_views[b],
-                                                  jnp.asarray(rows), axis=0),
+                               ids_array=bucket_pool_ids[b],
                                pool_mode=rcfg.pool_mode,
                                encode_all=corpus_encoder)
             if pool_emb is None:

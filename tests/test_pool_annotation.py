@@ -8,21 +8,10 @@ import pytest
 from rag4dyg_tpu.data.serialize import read_corpus_lines
 from rag4dyg_tpu.data.vocab import Tokenizer
 from rag4dyg_tpu.pool.annotate import mine_train_pairs
-from rag4dyg_tpu.pool.jaccard import jaccard_matrix, parse_inout_sets
+from rag4dyg_tpu.pool.jaccard import (jaccard_matrix, parse_inout_sets,
+                                      reference_pairs_matrix)
 
-
-def _reference_jaccard(a, b):
-    if len(a) == 0 or len(b) == 0:
-        return 0
-    return len(a & b) / len(a | b)
-
-
-def _reference_matrix(target, source):
-    m = np.zeros((len(target), len(source)))
-    for i in range(len(target)):
-        for j in range(len(source)):
-            m[i, j] = _reference_jaccard(target[i], source[j])
-    return m
+_reference_matrix = reference_pairs_matrix  # shared transliteration oracle
 
 
 @pytest.fixture(scope="module")
