@@ -1,0 +1,90 @@
+"""Torch-format checkpoint interop: round-trip exactness, and logits
+parity between our flax GPT-2 and the reference's vendored torch GPT-2
+loaded from an exported checkpoint (reference: models/modeling_gpt2.py,
+models/modeling_utils.py:300; export used by utils/model.py:71-78)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from rag4dyg_tpu.config import ModelConfig
+from rag4dyg_tpu.models import GPT2LMModel, init_params
+from rag4dyg_tpu.utils.checkpoint import save_checkpoint
+from rag4dyg_tpu.utils.export_torch import (
+    export_reference_checkpoint,
+    import_reference_checkpoint,
+    params_to_torch_state_dict,
+    torch_state_dict_to_params,
+)
+
+REFRUN_STUBS = "/root/repo/refrun/stubs"
+REFERENCE = "/root/reference"
+
+
+def _small_config():
+    return ModelConfig(vocab_size=97, n_layer=2, n_head=2, n_embd=32,
+                       n_positions=64)
+
+
+def _leaves(tree, prefix=""):
+    for k, v in sorted(tree.items()):
+        if isinstance(v, dict):
+            yield from _leaves(v, prefix + k + "/")
+        else:
+            yield prefix + k, np.asarray(v)
+
+
+def test_round_trip_bit_equal():
+    import jax
+
+    cfg = _small_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sd = params_to_torch_state_dict(params, cfg.n_layer, n_ctx=64)
+    back = torch_state_dict_to_params(sd, cfg.n_layer)
+    a = dict(_leaves(params))
+    b = dict(_leaves(back))
+    assert set(a) == set(b)
+    for k in a:
+        assert np.array_equal(a[k], b[k]), k
+
+
+def test_reference_model_logits_parity(tmp_path):
+    """Export a randomly-initialized backbone and check the reference's
+    GPT2LMHeadModel produces the same logits as our flax forward."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _small_config()
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    ours_dir = tmp_path / "ours"
+    save_checkpoint(str(ours_dir), params, config=cfg)
+    ref_dir = export_reference_checkpoint(str(ours_dir), str(tmp_path / "ref"),
+                                          n_ctx=64)
+
+    # import-parity too: torch dir -> our params, bit-equal to source
+    re_params, re_cfg = import_reference_checkpoint(ref_dir)
+    assert re_cfg.n_layer == cfg.n_layer and re_cfg.vocab_size == cfg.vocab_size
+    for (k, a), (_, b) in zip(_leaves(params), _leaves(re_params)):
+        assert np.array_equal(np.asarray(a), b), k
+
+    for p in (REFRUN_STUBS, REFERENCE):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from models import GPT2LMHeadModel  # the reference's vendored class
+
+    ref_model = GPT2LMHeadModel.from_pretrained(ref_dir)
+    ref_model.eval()
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, cfg.vocab_size, (3, 17)).astype(np.int64)
+    with torch.no_grad():
+        ref_logits = ref_model(input_ids=torch.from_numpy(ids))[0].numpy()
+
+    model = GPT2LMModel(cfg)
+    ours_logits, _, _ = model.apply({"params": params},
+                                    jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours_logits), ref_logits,
+                               atol=2e-4, rtol=1e-4)
