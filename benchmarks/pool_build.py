@@ -46,26 +46,62 @@ def main():
                                     timestep=args.timestep)
     _, out_sets = parse_inout_sets(train, train)
 
-    # warm at the REAL shapes (a first run compiles every row-block shape),
-    # then time the steady-state end-to-end call
-    jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok))
+    # warm at the REAL shapes (a first run compiles every row-block shape)
+    # but with DIFFERENT content (rows rotated by one): the remote relay
+    # memoizes repeated identical dispatches, so the timed call must never
+    # repeat the warmup's payload (CLAUDE.md measurement rules)
+    warm_sets = out_sets[1:] + out_sets[:1]
+    jaccard_matrix(warm_sets, out_sets, tok.token_to_id, len(tok))
     t0 = time.perf_counter()
     ours = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok))
     t_ours = time.perf_counter() - t0
 
     # device-compute-only (no [N, N] device->host transfer): through the
     # remote relay the result download dominates; on a directly-attached
-    # TPU host it is ~free, so report both
+    # TPU host it is ~free, so report both. All reps run inside ONE jitted
+    # scan whose input is re-rolled every iteration and whose carry
+    # accumulates a host-verifiable value (bench.py pattern), so neither
+    # the relay's dispatch memoization nor XLA DCE can fake the timing.
+    import functools
+
+    import jax.numpy as jnp
+
     ids = [[tok.token_to_id(t) for t in s] for s in out_sets]
     chunks = -(-len(tok) // DEFAULT_VOCAB_CHUNK)
-    oh = jax.device_put(_host_onehot(ids, chunks * DEFAULT_VOCAB_CHUNK))
+    oh_host = _host_onehot(ids, chunks * DEFAULT_VOCAB_CHUNK)
+    oh = jax.device_put(oh_host)
     jax.block_until_ready(oh)
-    jax.block_until_ready(  # warm the full-shape compile
-        _intersection_scan(oh, oh, chunks, DEFAULT_VOCAB_CHUNK))
-    t0 = time.perf_counter()
-    jax.block_until_ready(
-        _intersection_scan(oh, oh, chunks, DEFAULT_VOCAB_CHUNK))
-    t_compute = time.perf_counter() - t0
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(a, b, reps):
+        def body(carry, r):
+            inter = _intersection_scan(jnp.roll(a, r, axis=0), b,
+                                       chunks, DEFAULT_VOCAB_CHUNK)
+            return carry + inter[0, 0].astype(jnp.float32), None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+        return carry
+
+    sets_np = [set(s) for s in ids]
+    N = len(sets_np)
+
+    def expected(reps: int) -> float:
+        return float(sum(len(sets_np[(N - r) % N] & sets_np[0])
+                         for r in range(reps)))
+
+    oh_warm = jax.device_put(np.roll(oh_host, 1, axis=1))  # distinct payload
+    jax.block_until_ready(oh_warm)
+
+    def timed(reps: int) -> float:
+        jax.block_until_ready(run(oh_warm, oh_warm, reps))  # compile+warm
+        t0 = time.perf_counter()
+        v = float(run(oh, oh, reps))
+        dt = time.perf_counter() - t0
+        assert v == expected(reps), (
+            f"scan result {v} != expected {expected(reps)}")
+        return dt
+
+    t1, t2 = timed(4), timed(8)
+    t_compute = max((t2 - t1) / 4.0, 1e-9)  # per-matrix steady state
 
     result = {"metric": "pool_build_seconds", "N": len(out_sets),
               "platform": jax.devices()[0].platform,

@@ -39,6 +39,15 @@ def _spec(args) -> DatasetSpec:
         spec = dataclasses.replace(
             spec, retriever=dataclasses.replace(spec.retriever,
                                                 pool_mode=args.pool_mode))
+    gen_over = {k: v for k, v in (
+        ("fusion", getattr(args, "fusion", None)),
+        ("gnn_layers", getattr(args, "gnn_layers", None)),
+        ("mlp_layers", getattr(args, "mlp_layers", None)),
+        ("gnn_dropout", getattr(args, "gnn_dropout", None)),
+        ("top_k", getattr(args, "top_k", None))) if v is not None}
+    if gen_over:
+        spec = dataclasses.replace(
+            spec, generator=dataclasses.replace(spec.generator, **gen_over))
     if getattr(args, "smoke", False):
         # tiny-dims end-to-end smoke: same code paths, minutes not hours
         spec = dataclasses.replace(
@@ -51,9 +60,13 @@ def _spec(args) -> DatasetSpec:
 
 
 def _train_caps(args) -> dict:
+    out = {}
     if getattr(args, "smoke", False):
-        return {"max_steps_per_epoch": 4, "max_eval_queries": 24}
-    return {}
+        out = {"max_steps_per_epoch": 4, "max_eval_queries": 24}
+    k = getattr(args, "accumulate_steps", None)
+    if k and k > 1:
+        out["accumulate_steps"] = k
+    return out
 
 
 def _tokenizer(spec: DatasetSpec, resources: str, with_mask: bool = True):
@@ -232,10 +245,14 @@ def cmd_word2vec(args):
                 out[r] = feats[pid]
             else:
                 missing += 1
-        np.save(args.out, out)
+        # np.save appends .npy when the suffix is absent; normalize so the
+        # reported path is always the written one
+        out_path = args.out if args.out.endswith(".npy") else (
+            os.path.splitext(args.out)[0] + ".npy")
+        np.save(out_path, out)
         print(json.dumps({"docs": len(feats), "nodes": len(order),
                           "missing": missing, "dim": params.dim,
-                          "out": args.out}))
+                          "out": out_path}))
         return
     ids = sorted(feats)
     np.savez(args.out, ids=np.array(ids),
@@ -348,6 +365,10 @@ def main(argv=None):
                             help="backbone checkpoint dir for transfer")
             sp.add_argument("--save-every", type=int, default=0,
                             help="rotating step checkpoint every N epochs")
+            sp.add_argument("--accumulate-steps", type=int, default=1,
+                            help="gradient accumulation micro-batches per "
+                                 "optimizer step (reference "
+                                 "gradient_accumulation_steps)")
             sp.add_argument("--resume", action="store_true",
                             help="continue from latest step checkpoint")
             sp.add_argument("--pool-mode", default=None,
@@ -355,6 +376,19 @@ def main(argv=None):
                             help="retriever sequence pooling: masked mean "
                                  "(default) or the reference's padded mean "
                                  "(train_retriever.py:183-185 quirk)")
+            sp.add_argument("--fusion", default=None,
+                            choices=["graphpooling", "mlp"],
+                            help="generator fusion head (default: dataset "
+                                 "registry, graphpooling everywhere)")
+            sp.add_argument("--gnn-layers", type=int, default=None,
+                            help="stacked GCN layers in graphpooling fusion "
+                                 "(reference get_gnn n_layers)")
+            sp.add_argument("--mlp-layers", type=int, default=None,
+                            help="MLP fusion depth (reference get_mlp)")
+            sp.add_argument("--gnn-dropout", type=float, default=None,
+                            help="inter-layer GCN dropout (train only)")
+            sp.add_argument("--top-k", type=int, default=None,
+                            help="retrieved demonstrations fused per query")
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--node-features", default=None,
                         help="node feature .npy for wte init")

@@ -72,9 +72,51 @@ PREPROCESS_PARAMS: Dict[str, PreprocessParams] = {
 }
 
 
-def slice_events(events: pd.DataFrame, params: PreprocessParams
-                 ) -> pd.DataFrame:
+def window_events(events: pd.DataFrame, params: PreprocessParams
+                  ) -> pd.DataFrame:
+    """Time-sorted events restricted to [start_offset past stream start,
+    end_trim before stream end] (reference: START_DATE/END_DATE window,
+    all_data/uci/pre/UCI_13/preprocess.py:59-78). Ties keep input order
+    (the reference's stable ``links.sort`` over the file order)."""
+    ev = events.sort_values("time", kind="stable").reset_index(drop=True)
+    t0, t1 = ev["time"].min(), ev["time"].max()
+    start = t0 + params.start_offset
+    end = t1 - params.end_trim
+    ev = ev[(ev["time"] >= start) & (ev["time"] <= end)].copy()
+    ev["_start"] = start
+    return ev.reset_index(drop=True)
+
+
+def first_seen_remap(events: pd.DataFrame) -> pd.DataFrame:
+    """Remap node ids to first-appearance rank over the (windowed,
+    time-sorted) stream, u before i within one event.
+
+    This reproduces the composition of the reference's two remaps (raw
+    id -> file-order rank at read time, then the slice-graph ``remap()``
+    over carried-forward node insertion order —
+    all_data/uci/pre/UCI_13/preprocess.py:30-39,105-135): the final id is
+    exactly the node's first-appearance rank in the sorted in-window
+    stream.
+    """
+    ids: Dict = {}
+    for a, b in zip(events["u"].to_numpy(), events["i"].to_numpy()):
+        if a not in ids:
+            ids[a] = len(ids)
+        if b not in ids:
+            ids[b] = len(ids)
+    out = events.copy()
+    out["u"] = out["u"].map(ids)
+    out["i"] = out["i"].map(ids)
+    return out
+
+
+def slice_events(events: pd.DataFrame, params: PreprocessParams,
+                 remap: bool = False) -> pd.DataFrame:
     """Events (columns u, i, time) -> snapshot table (u, i, ts, timestamp).
+
+    ``remap=True`` renumbers nodes to first-appearance rank over the
+    windowed stream (the reference's id space for datasets whose raw ids
+    are arbitrary — see ``first_seen_remap``).
 
     ``time`` is the raw event time in the units ``params`` is expressed
     in. Events before ``start_offset`` past the stream start are dropped;
@@ -83,13 +125,11 @@ def slice_events(events: pd.DataFrame, params: PreprocessParams
     Within a slice, unordered duplicate pairs collapse to the LAST
     occurrence (nx.MultiGraph -> nx.Graph attribute semantics).
     """
-    ev = events.sort_values("time", kind="stable").reset_index(drop=True)
-    t0, t1 = ev["time"].min(), ev["time"].max()
-    start = t0 + params.start_offset
-    end = t1 - params.end_trim
-    ev = ev[ev["time"] >= start]
-    ev = ev[ev["time"] <= end]
-    ev = ev.copy()
+    ev = window_events(events, params)
+    start = ev["_start"].iloc[0] if len(ev) else 0.0
+    ev = ev.drop(columns=["_start"])
+    if remap:
+        ev = first_seen_remap(ev)
     ev["timestamp"] = ((ev["time"] - start) // params.slice_len).astype(int)
 
     if params.undirected_dedup:

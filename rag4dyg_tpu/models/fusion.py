@@ -52,20 +52,20 @@ def demo_membership(demo_tokens: jnp.ndarray, demo_valid: jnp.ndarray,
     return m[..., :vocab_size]
 
 
-def star_union_gcn_pool(demo_tokens: jnp.ndarray, demo_valid: jnp.ndarray,
-                        wte: jnp.ndarray, gcn_kernel: jnp.ndarray,
-                        gcn_bias: jnp.ndarray) -> jnp.ndarray:
-    """Mean-pooled 1-layer GCN over the union of demo star graphs.
+def star_union_structure(demo_tokens: jnp.ndarray, demo_valid: jnp.ndarray,
+                         vocab_size: int):
+    """Shared star-union graph structure in vocab space.
 
-    Args:
-      demo_tokens: [B, k, S] token ids of the k retrieved demonstrations.
-      demo_valid: [B, k, S] True on real (non-pad) tokens.
-      wte: [V, D] embedding table (node features).
-      gcn_kernel/gcn_bias: [D, D_out]/[D_out] GCNConv weight and bias.
-
-    Returns [B, D_out] fused embeddings.
+    Returns a dict with:
+      E_nc: [B, k, V] per-center incidence (mirrored center-center edges,
+        duplicate-center rows collapsed into the owner row, self edges
+        removed)
+      centers: [B, k]; is_center/member: [B, V] masks;
+      degree / inv_deg / inv_sqrt_deg: [B, V] hatted degrees (self-loops
+        included per PyG gcn_norm add_remaining_self_loops);
+      w_center: [B, k] = inv_sqrt_deg at each center; n_nodes: [B].
     """
-    V, D = wte.shape
+    V = vocab_size
     B, K, S = demo_tokens.shape
     M = demo_membership(demo_tokens, demo_valid, V)      # [B, k, V]
     centers = demo_tokens[:, :, 2]                        # [B, k] demo egos
@@ -99,17 +99,41 @@ def star_union_gcn_pool(demo_tokens: jnp.ndarray, demo_valid: jnp.ndarray,
 
     member = jnp.max(E, axis=1)                           # [B, V] node mask
     n_nodes = jnp.maximum(member.sum(axis=1), 1.0)        # [B]
-
     inv_deg = jnp.where(degree > 0, 1.0 / degree, 0.0)
-    self_weights = member * inv_deg                       # x_t/D_t terms
 
     # E without the (center, center) self entries
     eye_cd = jnp.zeros((B, K, V), jnp.float32).at[
         b_idx[:, :, None], k_idx[:, :, None],
         centers[:, :, None]].set(1.0)
     E_nc = E * (1.0 - eye_cd)                             # edges minus self
-
     w_center = inv_sqrt_deg[b_idx, centers]               # [B, k]
+    return {"E_nc": E_nc, "centers": centers, "is_center": is_center,
+            "member": member, "degree": degree, "inv_deg": inv_deg,
+            "inv_sqrt_deg": inv_sqrt_deg, "w_center": w_center,
+            "n_nodes": n_nodes}
+
+
+def star_union_gcn_pool(demo_tokens: jnp.ndarray, demo_valid: jnp.ndarray,
+                        wte: jnp.ndarray, gcn_kernel: jnp.ndarray,
+                        gcn_bias: jnp.ndarray) -> jnp.ndarray:
+    """Mean-pooled 1-layer GCN over the union of demo star graphs.
+
+    Args:
+      demo_tokens: [B, k, S] token ids of the k retrieved demonstrations.
+      demo_valid: [B, k, S] True on real (non-pad) tokens.
+      wte: [V, D] embedding table (node features).
+      gcn_kernel/gcn_bias: [D, D_out]/[D_out] GCNConv weight and bias.
+
+    Returns [B, D_out] fused embeddings.
+    """
+    V, D = wte.shape
+    B = demo_tokens.shape[0]
+    st = star_union_structure(demo_tokens, demo_valid, V)
+    E_nc, centers, is_center = st["E_nc"], st["centers"], st["is_center"]
+    inv_sqrt_deg, w_center = st["inv_sqrt_deg"], st["w_center"]
+    b_idx = jnp.arange(B)[:, None]
+
+    self_weights = st["member"] * st["inv_deg"]           # x_t/D_t terms
     # into-non-center flow: x_{c_d} reaches its NON-center neighbors here;
     # center neighbors receive it through their own (mirrored) row via u
     q = (E_nc * jnp.where(is_center, 0.0, inv_sqrt_deg)[:, None, :]
@@ -121,10 +145,63 @@ def star_union_gcn_pool(demo_tokens: jnp.ndarray, demo_valid: jnp.ndarray,
     # each center's aggregation through that center's own row
     u = (E_nc * w_center[:, :, None]).sum(axis=1) * inv_sqrt_deg  # [B, V]
 
-    total_weights = (self_weights + center_weights + u) / n_nodes[:, None]
+    total_weights = (self_weights + center_weights + u) / st["n_nodes"][:, None]
     agg = jnp.dot(total_weights, wte.astype(jnp.float32),
                   preferred_element_type=jnp.float32)     # [B, D]
     return agg @ gcn_kernel + gcn_bias
+
+
+def star_union_gcn_multilayer(demo_tokens: jnp.ndarray,
+                              demo_valid: jnp.ndarray, wte: jnp.ndarray,
+                              kernels, biases, *, dropout_rate: float = 0.0,
+                              rng=None,
+                              deterministic: bool = True) -> jnp.ndarray:
+    """Mean-pooled n-layer GCN over the union of demo star graphs —
+    message-passing form (reference: models/modeling_rag.py:44-71:
+    stacked GCNConv with ReLU + dropout between layers).
+
+    Node states are materialized as [B, V, D_l] (zero outside the member
+    set); one propagation is three small einsums against the [B, k, V]
+    center-incidence — no V x V adjacency ever exists. Quirk note: the
+    reference calls ``F.dropout(x, p)`` WITHOUT ``training=self.training``
+    (models/modeling_rag.py:70), so its inter-layer dropout stays active
+    even at eval; here dropout is honest (off when ``deterministic``) —
+    the committed configs all use gnn_layers=1 where no dropout fires.
+    """
+    V, _ = wte.shape
+    B = demo_tokens.shape[0]
+    st = star_union_structure(demo_tokens, demo_valid, V)
+    E_nc, centers = st["E_nc"], st["centers"]
+    isd, inv_deg = st["inv_sqrt_deg"], st["inv_deg"]
+    member, is_center = st["member"], st["is_center"]
+    b_idx = jnp.arange(B)[:, None]
+
+    # propagation weights fixed across layers
+    W_in = E_nc * isd[:, None, :]                         # into-center
+    W_out = (E_nc * jnp.where(is_center, 0.0, isd)[:, None, :]
+             * st["w_center"][:, :, None])                # center -> non-center
+
+    X = member[:, :, None] * wte[None].astype(jnp.float32)  # [B, V, D]
+    n_layers = len(kernels)
+    for li, (Wl, bl) in enumerate(zip(kernels, biases)):
+        cs = jnp.take_along_axis(X, centers[:, :, None], axis=1)  # [B, k, D]
+        t2 = jnp.einsum("bdv,bde->bve", W_out, cs,
+                        preferred_element_type=jnp.float32)
+        G = jnp.einsum("bdv,bve->bde", W_in, X,
+                       preferred_element_type=jnp.float32)
+        t3 = jnp.zeros_like(X).at[b_idx, centers].add(
+            st["w_center"][:, :, None] * G)
+        agg = inv_deg[:, :, None] * X + t2 + t3
+        X = (agg @ Wl + bl) * member[:, :, None]
+        if li != n_layers - 1:
+            X = jax.nn.relu(X)
+            if dropout_rate > 0.0 and not deterministic:
+                assert rng is not None, "dropout needs an rng"
+                rng, drop_rng = jax.random.split(rng)
+                keep = jax.random.bernoulli(drop_rng, 1.0 - dropout_rate,
+                                            X.shape)
+                X = jnp.where(keep, X / (1.0 - dropout_rate), 0.0)
+    return X.sum(axis=1) / st["n_nodes"][:, None]
 
 
 def mlp_fusion_pool(demo_tokens_concat: jnp.ndarray, wte: jnp.ndarray,
@@ -143,6 +220,25 @@ def mlp_fusion_pool(demo_tokens_concat: jnp.ndarray, wte: jnp.ndarray,
     flat = H_sim.reshape(-1, L)                           # [B*D, 512]
     out = flat @ mlp_kernel + mlp_bias                    # [B*D, m]
     return out.reshape(B, m, D)
+
+
+def mlp_fusion_pool_multilayer(demo_tokens_concat: jnp.ndarray,
+                               wte: jnp.ndarray, kernels, biases,
+                               m: int) -> jnp.ndarray:
+    """n-layer MLP fusion head (reference: models/modeling_rag.py:74-99
+    MLP_custom — Linear/ReLU stacks with hidden = input//2, built by
+    get_mlp(512, m, mlp_layers), main_generator.py:80-81). Operates on
+    the same raw ``view(-1, 512)`` flat as the 1-layer head."""
+    B, L = demo_tokens_concat.shape
+    H_sim = jnp.take(wte, demo_tokens_concat, axis=0)
+    D = H_sim.shape[-1]
+    x = H_sim.reshape(-1, L)                              # [B*D, 512]
+    n = len(kernels)
+    for i, (W, b) in enumerate(zip(kernels, biases)):
+        x = x @ W + b
+        if i != n - 1:
+            x = jax.nn.relu(x)
+    return x.reshape(B, m, D)
 
 
 def splice_fused(inputs_embeds: jnp.ndarray, fused: jnp.ndarray

@@ -124,6 +124,14 @@ def intersection_counts(a_sets: Sequence[Sequence[int]],
     """
     n_chunks = max(1, -(-vocab_size // vocab_chunk))
     v_pad = n_chunks * vocab_chunk
+    # counts transfer as uint16; a set larger than 65535 tokens would
+    # silently wrap and break the bit-equality contract
+    max_len = max((len(s) for s in a_sets), default=0)
+    max_len = max(max_len, max((len(s) for s in b_sets), default=0))
+    if max_len >= 2 ** 16:
+        raise ValueError(
+            f"token set of size {max_len} overflows the uint16 count "
+            f"transfer (limit {2 ** 16 - 1})")
     a_oh = _host_onehot(a_sets, v_pad)
     b_oh = _host_onehot(b_sets, v_pad)
 

@@ -49,6 +49,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
+from rag4dyg_tpu.utils.profiling import lm_train_flops, mfu
 from rag4dyg_tpu.utils.retry import retry_transient
 
 logger = logging.getLogger(__name__)
@@ -127,7 +128,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                    save_every: int = 0, save_total_limit: int = 2,
                    resume: bool = False,
                    stop_after_epoch: Optional[int] = None,
-                   mesh=None,
+                   mesh=None, accumulate_steps: int = 1,
                    log_every: int = 50) -> StageResult:
     """``save_every`` > 0 writes a rotating checkpoint-step<epoch> (with
     optimizer state) every that many epochs; ``resume`` continues from
@@ -161,9 +162,14 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                    node_features=node_features)
 
     steps_per_epoch = len(examples) // spec.batch_size
+    # with accumulation the schedule advances once per OPTIMIZER step
+    # (reference: t_total = len(dataloader) // accumulation * epochs,
+    # main_SimpleDyG.py:224-232,173-191)
+    updates_per_epoch = max(1, steps_per_epoch // accumulate_steps)
     schedule = linear_warmup_linear_decay(spec.learning_rate, 0,
-                                          steps_per_epoch * epochs)
-    optimizer = make_optimizer(params, schedule, weight_decay=0.0)
+                                          updates_per_epoch * epochs)
+    optimizer = make_optimizer(params, schedule, weight_decay=0.0,
+                               accumulate_steps=accumulate_steps)
     if mesh is not None:
         # multi-chip SPMD: params/opt-state sharded per partition specs,
         # batches constrained onto the mesh's data axis inside the scan
@@ -232,20 +238,30 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         global_step += n_full
 
         t_train = time.time() - t_epoch
+        epoch_flops = lm_train_flops(spec.n_layer, spec.n_embd,
+                                     float(n_full) * B * corpus_len,
+                                     corpus_len,
+                                     vocab_size=len(tokenizer))
+        epoch_mfu = mfu(epoch_flops, t_train)
         val_metrics = retry_transient(
             generation_eval, model, params, tokenizer, val_lines, val_gt,
             node_vocab, "val", batch_size=eval_batch_size)
         t_eval = time.time() - t_epoch - t_train
         score = val_metrics["NDCG"]
         logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f jaccard %.4f | "
-                    "train %.0fs eval %.0fs",
+                    "train %.0fs eval %.0fs | %.1f TFLOPS (MFU %.1f%%)",
                     epoch, epoch_loss / max(1, n_batches), score,
-                    val_metrics["jaccard"], t_train, t_eval)
+                    val_metrics["jaccard"], t_train, t_eval,
+                    epoch_flops / max(t_train, 1e-9) / 1e12, 100 * epoch_mfu)
         runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, n_batches),
                                    "val_ndcg5": score,
                                    "val_jaccard": val_metrics["jaccard"],
                                    "train_seconds": round(t_train, 1),
-                                   "eval_seconds": round(t_eval, 1)})
+                                   "eval_seconds": round(t_eval, 1),
+                                   "train_tflops": round(
+                                       epoch_flops / max(t_train, 1e-9)
+                                       / 1e12, 2),
+                                   "mfu": round(epoch_mfu, 4)})
 
         # stage-1 early stopping: ties save and reset (main_SimpleDyG.py:306-328)
         if best_score is None or score >= best_score:

@@ -40,7 +40,9 @@ from rag4dyg_tpu.eval.evaluate import generation_eval
 from rag4dyg_tpu.models import GPT2LMModel, init_params
 from rag4dyg_tpu.models.fusion import (
     mlp_fusion_pool,
+    mlp_fusion_pool_multilayer,
     splice_labels,
+    star_union_gcn_multilayer,
     star_union_gcn_pool,
 )
 from rag4dyg_tpu.train.losses import shift_ce_loss
@@ -107,28 +109,73 @@ class DemoStore:
         return out
 
 
-def init_fusion_params(rng: jax.Array, cfg: ModelConfig, fusion: str,
-                       *, m: int, fusion_pad_len: int = 512) -> Dict:
-    """Glorot-uniform kernel + zero bias, matching PyG GCNConv /
-    torch.nn.Linear default inits closely enough for training parity."""
+def fusion_layer_dims(fusion: str, n_embd: int, fusion_pad_len: int,
+                      m: int, n_layers: int) -> List:
+    """(in, out) per layer, matching the reference head constructors:
+    GNN(in=n_embd, hidden=n_embd//2, out=n_embd) — models/modeling_rag.py:
+    44-63 via main_generator.py:83-84 — and MLP_custom(in=512, out=m,
+    hidden=256) — models/modeling_rag.py:74-96."""
     if fusion == "graphpooling":
-        k = jax.nn.initializers.glorot_uniform()(
-            rng, (cfg.n_embd, cfg.n_embd), jnp.float32)
-        return {"kernel": k, "bias": jnp.zeros((cfg.n_embd,), jnp.float32)}
-    k = jax.nn.initializers.glorot_uniform()(
-        rng, (fusion_pad_len, m), jnp.float32)
-    return {"kernel": k, "bias": jnp.zeros((m,), jnp.float32)}
+        d_in, d_hid, d_out = n_embd, n_embd // 2, n_embd
+    else:
+        d_in, d_out = fusion_pad_len, m
+        d_hid = d_in // 2
+    if n_layers == 1:
+        return [(d_in, d_out)]
+    return ([(d_in, d_hid)] + [(d_hid, d_hid)] * (n_layers - 2)
+            + [(d_hid, d_out)])
+
+
+def init_fusion_params(rng: jax.Array, cfg: ModelConfig, fusion: str,
+                       *, m: int, fusion_pad_len: int = 512,
+                       n_layers: int = 1) -> Dict:
+    """Glorot-uniform kernel + zero bias per layer, matching PyG GCNConv /
+    torch.nn.Linear default inits closely enough for training parity.
+    Single-layer keeps the flat {kernel, bias} tree (checkpoint compat);
+    n_layers >= 2 stores kernel_i/bias_i."""
+    dims = fusion_layer_dims(fusion, cfg.n_embd, fusion_pad_len, m, n_layers)
+    glorot = jax.nn.initializers.glorot_uniform()
+    if n_layers == 1:
+        (d_in, d_out), = dims
+        return {"kernel": glorot(rng, (d_in, d_out), jnp.float32),
+                "bias": jnp.zeros((d_out,), jnp.float32)}
+    out: Dict = {}
+    for i, (d_in, d_out) in enumerate(dims):
+        rng, krng = jax.random.split(rng)
+        out[f"kernel_{i}"] = glorot(krng, (d_in, d_out), jnp.float32)
+        out[f"bias_{i}"] = jnp.zeros((d_out,), jnp.float32)
+    return out
+
+
+def _fusion_layers(f: Dict):
+    """[(kernel, bias), ...] from a flat or layered fusion param tree."""
+    if "kernel" in f:
+        return [f["kernel"]], [f["bias"]]
+    n = sum(1 for k in f if k.startswith("kernel_"))
+    return ([f[f"kernel_{i}"] for i in range(n)],
+            [f[f"bias_{i}"] for i in range(n)])
 
 
 def fused_embedding(params: Dict, fusion: str, wte: jnp.ndarray,
-                    demo_ids, demo_valid=None, *, m: int = 1) -> jnp.ndarray:
+                    demo_ids, demo_valid=None, *, m: int = 1,
+                    dropout_rate: float = 0.0, rng=None,
+                    deterministic: bool = True) -> jnp.ndarray:
     """[B, m, D] fused demonstration embedding(s)."""
     f = params["fusion"]
+    kernels, biases = _fusion_layers(f)
     if fusion == "graphpooling":
-        out = star_union_gcn_pool(demo_ids, demo_valid, wte,
-                                  f["kernel"], f["bias"])
+        if len(kernels) == 1:
+            out = star_union_gcn_pool(demo_ids, demo_valid, wte,
+                                      kernels[0], biases[0])
+        else:
+            out = star_union_gcn_multilayer(
+                demo_ids, demo_valid, wte, kernels, biases,
+                dropout_rate=dropout_rate, rng=rng,
+                deterministic=deterministic)
         return out[:, None, :]
-    return mlp_fusion_pool(demo_ids, wte, f["kernel"], f["bias"], m)
+    if len(kernels) == 1:
+        return mlp_fusion_pool(demo_ids, wte, kernels[0], biases[0], m)
+    return mlp_fusion_pool_multilayer(demo_ids, wte, kernels, biases, m)
 
 
 def splice_prefill(wte: jnp.ndarray, ids: jnp.ndarray,
@@ -159,13 +206,16 @@ def splice_prefill(wte: jnp.ndarray, ids: jnp.ndarray,
 
 
 def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
-                              m: int):
+                              m: int, gnn_dropout: float = 0.2):
     @jax.jit
     def step(params, opt_state, batch, demo_ids, demo_valid, rng):
+        rng, fusion_rng = jax.random.split(rng)
+
         def loss_fn(p):
             wte = p["wte"]
             fused = fused_embedding(p, fusion, wte, demo_ids, demo_valid,
-                                    m=m)
+                                    m=m, dropout_rate=gnn_dropout,
+                                    rng=fusion_rng, deterministic=False)
             embeds = jnp.take(wte, batch, axis=0)
             embeds = jnp.concatenate(
                 [embeds[:, :2], fused.astype(embeds.dtype), embeds[:, 2:]],
@@ -183,14 +233,16 @@ def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
     return step
 
 
-def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int):
+def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
+                            gnn_dropout: float = 0.2):
     """Whole-epoch ``lax.scan`` for graphpooling fusion: query rows AND
     demonstrations are gathered on device from the resident pool, so each
     epoch ships only [S, B] row indices + [S, B, K] demo indices (one
     dispatch instead of one per step — the tunnel-latency fix, same shape
     as the retriever's epoch scan)."""
     step = make_generator_train_step(model, optimizer,
-                                     fusion="graphpooling", m=m)
+                                     fusion="graphpooling", m=m,
+                                     gnn_dropout=gnn_dropout)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, pool_valid, rows_all, topk_all,
@@ -212,6 +264,37 @@ def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int):
             body, (params, opt_state), (rows_all, topk_all, rngs, valids))
         return params, opt_state, losses.sum()
     return epoch, step
+
+
+def make_generator_eval_loss(model: GPT2LMModel, *, fusion: str, m: int):
+    """Fusion-augmented validation LM loss (reference:
+    train/train_generator.py:269-313 — deterministic forward, labels =
+    inputs with m ignore slots spliced, mean of per-batch mean CE; the
+    eval loader's drop_last=True quirk is preserved by the caller
+    feeding full batches only, reference: dataloader/generator.py:130-134).
+    All batches run inside one jitted scan: a single device dispatch."""
+
+    @jax.jit
+    def eval_loss(params, batches, demo_ids_all, demo_valid_all):
+        backbone = {k: v for k, v in params.items() if k != "fusion"}
+
+        def body(_, xs):
+            batch, d_ids, d_valid = xs
+            wte = params["wte"]
+            fused = fused_embedding(params, fusion, wte, d_ids, d_valid,
+                                    m=m)
+            embeds = jnp.take(wte, batch, axis=0)
+            embeds = jnp.concatenate(
+                [embeds[:, :2], fused.astype(embeds.dtype), embeds[:, 2:]],
+                axis=1)
+            logits, _, _ = model.apply({"params": backbone},
+                                       inputs_embeds=embeds,
+                                       deterministic=True)
+            return None, shift_ce_loss(logits, splice_labels(batch, m))
+        _, losses = jax.lax.scan(
+            body, None, (batches, demo_ids_all, demo_valid_all))
+        return losses.mean()
+    return eval_loss
 
 
 def load_index_file(path: str) -> List[List[int]]:
@@ -250,6 +333,7 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     generator_dir: Optional[str] = None,
                     epochs: Optional[int] = None, seed: Optional[int] = None,
                     dtype: str = "float32", eval_batch_size: int = 32,
+                    accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
                     ) -> GeneratorResult:
@@ -309,13 +393,18 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     if backbone_ckpt is not None:
         params = transfer_backbone(params, load_params(backbone_ckpt))
     params = dict(params)
+    fusion_n_layers = (gcfg.gnn_layers if gcfg.fusion == "graphpooling"
+                       else gcfg.mlp_layers)
     params["fusion"] = init_fusion_params(
         fusion_rng, config, gcfg.fusion, m=gcfg.m,
-        fusion_pad_len=gcfg.fusion_pad_len)
+        fusion_pad_len=gcfg.fusion_pad_len, n_layers=fusion_n_layers)
 
     steps_per_epoch = max(1, len(examples) // gcfg.batch_size)
-    schedule = epoch_cosine_schedule(gcfg.learning_rate, gcfg.warmup_epochs,
-                                     epochs, steps_per_epoch)
+    # schedule advances per optimizer update (reference accumulation:
+    # train/train_generator.py:106-126)
+    schedule = epoch_cosine_schedule(
+        gcfg.learning_rate, gcfg.warmup_epochs, epochs,
+        max(1, steps_per_epoch // accumulate_steps))
     frozen_labels = None
     if gcfg.freeze_backbone and backbone_ckpt is not None:
         # only the fusion head trains (reference: utils/model.py:71-78 +
@@ -326,11 +415,12 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             for k, v in params.items()}
     optimizer = make_optimizer(params, schedule,
                                weight_decay=gcfg.weight_decay,
-                               frozen_labels=frozen_labels)
+                               frozen_labels=frozen_labels,
+                               accumulate_steps=accumulate_steps)
     opt_state = optimizer.init(params)
     if gcfg.fusion == "graphpooling":
-        epoch_fn, train_step = make_generator_epoch_fn(model, optimizer,
-                                                       m=gcfg.m)
+        epoch_fn, train_step = make_generator_epoch_fn(
+            model, optimizer, m=gcfg.m, gnn_dropout=gcfg.gnn_dropout)
         topk_table = np.asarray([r[: gcfg.top_k] for r in train_index],
                                 np.int32)
     else:
@@ -352,6 +442,35 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                node_vocab, split if split == "val" else "test",
                                batch_size=eval_batch_size, with_recall=True,
                                prefill_embed_fn_factory=factory)
+
+    # per-epoch fusion-augmented val LM loss inputs (reference:
+    # train/train_generator.py:269-313; the eval loader drops the last
+    # partial batch — dataloader/generator.py:130-134 — so full batches
+    # only). Demo gathers are fixed across epochs: build device-resident
+    # arrays once.
+    vB = eval_batch_size
+    val_examples = tokenizer.encode_batch(val_lines, max_len=spec.block_size)
+    n_vb = len(val_examples) // vB
+    eval_loss_fn, vbatches, vd_ids, vd_valid = None, None, None, None
+    if n_vb:
+        kept = val_examples[: n_vb * vB]
+        vL = -(-max(len(s) for s in kept) // 64) * 64
+        varr = np.full((len(kept), vL), tokenizer.pad_id, np.int32)
+        for i, s in enumerate(kept):
+            varr[i, : len(s)] = s[:vL]
+        vbatches = jnp.asarray(varr.reshape(n_vb, vB, vL))
+        vtopk = np.asarray([val_index[i][: gcfg.top_k]
+                            for i in range(len(kept))], np.int32)
+        if gcfg.fusion == "graphpooling":
+            ids, valid = store.gather(vtopk)
+            vd_ids = ids.reshape(n_vb, vB, *ids.shape[1:])
+            vd_valid = valid.reshape(n_vb, vB, *valid.shape[1:])
+        else:
+            cat = store.concat_for_mlp(vtopk, gcfg.fusion_pad_len)
+            vd_ids = jnp.asarray(cat.reshape(n_vb, vB, -1))
+            vd_valid = jnp.zeros((n_vb, vB, 1), bool)
+        eval_loss_fn = make_generator_eval_loss(model, fusion=gcfg.fusion,
+                                                m=gcfg.m)
 
     best_score, best_params, best_epoch, counter = None, params, -1, 0
     start = time.time()
@@ -405,12 +524,17 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
         t_train = time.time() - t_epoch
         val_metrics = retry_transient(evaluate, params, "val")
+        val_loss = (float(retry_transient(eval_loss_fn, params, vbatches,
+                                          vd_ids, vd_valid))
+                    if eval_loss_fn is not None else float("nan"))
         t_eval = time.time() - t_epoch - t_train
         score = val_metrics["NDCG"]
-        logger.info("epoch %d | loss %.4f | val NDCG@5 %.4f | "
-                    "train %.0fs eval %.0fs", epoch,
-                    epoch_loss / max(1, nb), score, t_train, t_eval)
+        logger.info("epoch %d | loss %.4f | val loss %.4f | "
+                    "val NDCG@5 %.4f | train %.0fs eval %.0fs", epoch,
+                    epoch_loss / max(1, nb), val_loss, score, t_train,
+                    t_eval)
         runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
+                                   "val_loss": val_loss,
                                    "val_ndcg5": score,
                                    "val_jaccard": val_metrics["jaccard"],
                                    "val_recall5": val_metrics["R"],
@@ -439,13 +563,17 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     val_metrics = evaluate(best_params, "val")
     test_metrics = evaluate(best_params, "test")
+    # the reference's final pass tests checkpoint-last alongside best
+    # (reference: train/train_generator.py:253-266)
+    last_test = evaluate(params, "test")
     append_result_row(os.path.join(out_dir, "results.csv"),
                       {"stage": "generator", "dataset": spec.name,
                        "seed": seed, "fusion": gcfg.fusion,
                        "top_k": gcfg.top_k, "best_epoch": best_epoch,
                        "hours": round(hours, 4),
                        **{f"val_{k}": v for k, v in val_metrics.items()},
-                       **{f"test_{k}": v for k, v in test_metrics.items()}})
+                       **{f"test_{k}": v for k, v in test_metrics.items()},
+                       **{f"last_test_{k}": v for k, v in last_test.items()}})
     runlog.close()
     logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
                 test_metrics)

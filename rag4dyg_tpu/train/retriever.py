@@ -50,6 +50,7 @@ from rag4dyg_tpu.utils.checkpoint import (
     transfer_backbone,
 )
 from rag4dyg_tpu.utils.logging import RunLogger, append_result_row
+from rag4dyg_tpu.utils.profiling import StepTimer, lm_train_flops, mfu
 from rag4dyg_tpu.utils.retry import retry_transient
 
 logger = logging.getLogger(__name__)
@@ -219,12 +220,16 @@ def embed_corpus(model: GPT2LMModel, params, tokenizer: Tokenizer,
         encode_all = make_corpus_encoder(model, tokenizer.pad_id, pool_mode)
     else:
         # a pre-built encoder bakes in its pool_mode/pad_id; a silent
-        # mismatch would produce wrong embeddings with no error
-        assert getattr(encode_all, "pool_mode", pool_mode) == pool_mode, (
-            f"encoder pooled {getattr(encode_all, 'pool_mode', None)!r}, "
-            f"caller asked {pool_mode!r}")
-        assert getattr(encode_all, "pad_id",
-                       tokenizer.pad_id) == tokenizer.pad_id
+        # mismatch would produce wrong embeddings with no error (raise,
+        # not assert: the guard must survive python -O)
+        enc_mode = getattr(encode_all, "pool_mode", pool_mode)
+        if enc_mode != pool_mode:
+            raise ValueError(f"encoder pooled {enc_mode!r}, caller asked "
+                             f"{pool_mode!r}")
+        enc_pad = getattr(encode_all, "pad_id", tokenizer.pad_id)
+        if enc_pad != tokenizer.pad_id:
+            raise ValueError(f"encoder pad_id {enc_pad} != tokenizer "
+                             f"pad_id {tokenizer.pad_id}")
 
     if ids_array is None:
         # left-truncate (reference truncation side) to the fixed length
@@ -312,7 +317,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     query_times: Optional[np.ndarray] = None,
                     epochs: Optional[int] = None,
                     seed: Optional[int] = None, dtype: str = "float32",
-                    eval_batch_size: int = 32,
+                    eval_batch_size: int = 32, accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
                     gen_out_dir: Optional[str] = None) -> RetrieverResult:
@@ -361,10 +366,15 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         params = transfer_backbone(params, load_params(backbone_ckpt))
 
     steps_per_epoch = max(1, int(np.ceil(len(pairs) / rcfg.batch_size)))
-    schedule = epoch_cosine_schedule(rcfg.learning_rate, rcfg.warmup_epochs,
-                                     epochs, steps_per_epoch)
+    # schedule advances per optimizer update (= per accumulate_steps
+    # micro-batches; reference gradient accumulation:
+    # train/train_retriever.py:202-221)
+    schedule = epoch_cosine_schedule(
+        rcfg.learning_rate, rcfg.warmup_epochs, epochs,
+        max(1, steps_per_epoch // accumulate_steps))
     optimizer = make_optimizer(params, schedule,
-                               weight_decay=rcfg.weight_decay)
+                               weight_decay=rcfg.weight_decay,
+                               accumulate_steps=accumulate_steps)
     opt_state = optimizer.init(params)
     # the reference masks token vocab_size-1, which after the [MASK] resize
     # IS the mask token id (modeling_rag.py:790)
@@ -450,10 +460,12 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     # bigger chunks directly cut epoch wall-clock.
     def chunk_steps(b: int) -> int:
         return max(32, int(128 * (LB / b)))
+    dispatch_timer = StepTimer()
     for epoch in range(epochs):
         t_epoch = time.time()
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
+        epoch_flops = 0.0
         n_full = n_pairs // B
         if max_steps_per_epoch:
             n_full = min(n_full, max_steps_per_epoch)
@@ -481,15 +493,20 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 for c in range(n_chunks):
                     sl = padded[c * CH:(c + 1) * CH]
                     vl = valid[c * CH:(c + 1) * CH]
-                    params, opt_state, loss_sum = retry_transient(
-                        epoch_fn, params, opt_state, pool_views[b],
-                        jnp.asarray(idx_all[sl]),
-                        jnp.asarray(times[sl, :, 0]),
-                        jnp.asarray(times[sl, :, 1]),
-                        jnp.asarray(times[sl, :, 2]),
-                        jnp.asarray(rngs[sl]), jnp.asarray(vl))
-                    epoch_loss += float(loss_sum)
+                    with dispatch_timer.step():
+                        params, opt_state, loss_sum = retry_transient(
+                            epoch_fn, params, opt_state, pool_views[b],
+                            jnp.asarray(idx_all[sl]),
+                            jnp.asarray(times[sl, :, 0]),
+                            jnp.asarray(times[sl, :, 1]),
+                            jnp.asarray(times[sl, :, 2]),
+                            jnp.asarray(rngs[sl]), jnp.asarray(vl))
+                        epoch_loss += float(loss_sum)
                     nb += int(vl.sum())
+                    # 5 rematerialized encoder passes per step at bucket b
+                    epoch_flops += lm_train_flops(
+                        rcfg.n_layer, rcfg.n_embd,
+                        float(vl.sum()) * B * b * 5, b, remat=True)
         rem = pairs[order[n_full * B:]].astype(np.int32)
         if len(rem) and not max_steps_per_epoch:  # drop_last=False tail
             b = int(line_bucket[rem].max())
@@ -508,14 +525,21 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                        write_best=False)
         t_eval = time.time() - t_epoch - t_train
         score = val_metrics["hit@3"]
+        epoch_mfu = mfu(epoch_flops, t_train)
         logger.info("epoch %d | loss %.4f | val hit@3 %.4f | "
-                    "train %.0fs eval %.0fs", epoch,
-                    epoch_loss / max(1, nb), score, t_train, t_eval)
+                    "train %.0fs eval %.0fs | %.1f TFLOPS (MFU %.1f%%)",
+                    epoch, epoch_loss / max(1, nb), score, t_train, t_eval,
+                    epoch_flops / max(t_train, 1e-9) / 1e12,
+                    100 * epoch_mfu)
         runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
                                    "val_hit1": val_metrics["hit@1"],
                                    "val_hit3": score,
                                    "train_seconds": round(t_train, 1),
-                                   "eval_seconds": round(t_eval, 1)})
+                                   "eval_seconds": round(t_eval, 1),
+                                   "train_tflops": round(
+                                       epoch_flops / max(t_train, 1e-9)
+                                       / 1e12, 2),
+                                   "mfu": round(epoch_mfu, 4)})
 
         last_params = params
         if epoch > rcfg.warmup_epochs:  # reference skips epoch<=warmup
@@ -533,6 +557,10 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     break
 
     hours = (time.time() - start) / 3600
+    ds = dispatch_timer.summary()
+    if ds.get("steps"):
+        logger.info("train dispatches: %d | p50 %.0f ms | p90 %.0f ms",
+                    ds["steps"], ds["p50_ms"], ds["p90_ms"])
     if best_epoch < 0:  # fewer epochs than warmup: fall back to last
         best_params, best_epoch = last_params, epochs - 1
     save_checkpoint(os.path.join(out_dir, "checkpoint-last"), last_params,
@@ -540,12 +568,16 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     test_metrics = evaluate(best_params, "test", write_best=True)
     val_metrics = evaluate(best_params, "val", write_best=True)
+    # the reference's final pass tests checkpoint-last alongside best
+    # (reference: train/train_retriever.py:338-352)
+    last_test = evaluate(last_params, "test", write_best=False)
     append_result_row(os.path.join(out_dir, "results.csv"),
                       {"stage": "retriever", "dataset": spec.name,
                        "seed": seed, "best_epoch": best_epoch,
                        "hours": round(hours, 4),
                        **{f"val_{k}": v for k, v in val_metrics.items()},
-                       **{f"test_{k}": v for k, v in test_metrics.items()}})
+                       **{f"test_{k}": v for k, v in test_metrics.items()},
+                       **{f"last_test_{k}": v for k, v in last_test.items()}})
     runlog.close()
     logger.info("best epoch %d | val %s | test %s", best_epoch, val_metrics,
                 test_metrics)

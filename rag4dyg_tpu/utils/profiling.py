@@ -29,6 +29,38 @@ def xla_trace(trace_dir: Optional[str]):
         jax.profiler.stop_trace()
 
 
+def lm_flops_per_token(n_layer: int, n_embd: int, seq_len: int,
+                       vocab_size: int = 0) -> float:
+    """Approximate forward FLOPs per token of the GPT-2 backbone:
+    24*L*D^2 (qkv/proj/mlp matmuls) + 4*L*S*D (attention scores+values),
+    plus 2*D*V when the tied lm_head projection is computed."""
+    return (24.0 * n_layer * n_embd * n_embd
+            + 4.0 * n_layer * seq_len * n_embd
+            + 2.0 * n_embd * vocab_size)
+
+
+def lm_train_flops(n_layer: int, n_embd: int, tokens: float, seq_len: int,
+                   *, vocab_size: int = 0, remat: bool = False) -> float:
+    """Training FLOPs for ``tokens`` processed at ``seq_len``: forward +
+    2x backward (+1 forward recompute under jax.checkpoint)."""
+    mult = 4.0 if remat else 3.0
+    return mult * tokens * lm_flops_per_token(n_layer, n_embd, seq_len,
+                                              vocab_size)
+
+
+# v5e MXU peak (bf16); f32 matmuls also run as single bf16 MXU passes on
+# this chip (CLAUDE.md), so one denominator serves both dtypes
+TPU_PEAK_FLOPS = 197e12
+
+
+def mfu(flops: float, seconds: float,
+        peak: float = TPU_PEAK_FLOPS) -> float:
+    """Model FLOP utilization in [0, 1] against the chip's MXU peak."""
+    if seconds <= 0:
+        return 0.0
+    return flops / seconds / peak
+
+
 class StepTimer:
     """Wall-clock step timer with percentile summary."""
 

@@ -38,6 +38,42 @@ def main():
     # the node-feature init paths — make .cuda() a no-op
     torch.nn.Module.cuda = lambda self, device=None: self
     torch.Tensor.cuda = lambda self, *a, **k: self
+    # the eval loops hardcode .to('cuda') (utils/Evaluation_SimpleDyG.py:
+    # 87,122,134; utils/Evaluation_generator.py:110-167;
+    # train/train_retriever.py:435) — rewrite cuda targets to cpu
+
+    def _decuda(x):
+        if isinstance(x, str) and x.startswith("cuda"):
+            return "cpu"
+        if isinstance(x, torch.device) and x.type == "cuda":
+            return torch.device("cpu")
+        return x
+
+    _tensor_to = torch.Tensor.to
+    _module_to = torch.nn.Module.to
+
+    def _tto(self, *a, **k):
+        a = tuple(_decuda(x) for x in a)
+        if "device" in k:
+            k["device"] = _decuda(k["device"])
+        return _tensor_to(self, *a, **k)
+
+    def _mto(self, *a, **k):
+        a = tuple(_decuda(x) for x in a)
+        if "device" in k:
+            k["device"] = _decuda(k["device"])
+        return _module_to(self, *a, **k)
+
+    torch.Tensor.to = _tto
+    torch.nn.Module.to = _mto
+
+    # main_generator.py:61,66 reads args.retrieval_type / args.task which
+    # NO committed parser defines (upstream bug — the committed generator
+    # scripts crash as-is); both only feed run-name strings
+    import argparse
+
+    argparse.Namespace.retrieval_type = "none"
+    argparse.Namespace.task = "linkpred"
 
     import transformers
     from torch.optim import AdamW

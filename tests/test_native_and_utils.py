@@ -81,3 +81,76 @@ def test_run_logger(tmp_path):
     lines = open(tmp_path / "logs/scalars.jsonl").read().splitlines()
     assert json.loads(lines[1])["loss"] == 1.25
     assert "hello 42" in open(tmp_path / "logs/stage.log").read()
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """k accumulated micro-batches == one k-times-larger batch (per-token
+    CE means agree exactly when micro-batches have equal valid counts;
+    reference: main_SimpleDyG.py:173-191 loss/accum + step gating)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag4dyg_tpu.config import ModelConfig
+    from rag4dyg_tpu.models import GPT2LMModel, init_params
+    from rag4dyg_tpu.train.backbone import make_lm_train_step
+    from rag4dyg_tpu.train.state import (
+        linear_warmup_linear_decay,
+        make_optimizer,
+    )
+
+    cfg = ModelConfig(vocab_size=37, n_layer=1, n_head=2, n_embd=16,
+                      n_positions=32, embd_pdrop=0.0, attn_pdrop=0.0,
+                      resid_pdrop=0.0)
+    model = GPT2LMModel(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sched = linear_warmup_linear_decay(1e-2, 0, 100)
+
+    rng = np.random.RandomState(0)
+    big = jnp.asarray(rng.randint(0, 37, (4, 8)), jnp.int32)  # no pads
+
+    opt_full = make_optimizer(params, sched)
+    step_full = make_lm_train_step(model, opt_full)
+    p_full, _, _ = step_full(params, opt_full.init(params), big,
+                             jax.random.PRNGKey(1))
+
+    opt_acc = make_optimizer(params, sched, accumulate_steps=2)
+    step_acc = make_lm_train_step(model, opt_acc)
+    p_acc, state = params, opt_acc.init(params)
+    for half in (big[:2], big[2:]):
+        p_acc, state, _ = step_acc(p_acc, state, half, jax.random.PRNGKey(1))
+
+    flat_a = jax.tree.leaves(p_acc)
+    flat_f = jax.tree.leaves(p_full)
+    for a, f in zip(flat_a, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(f),
+                                   atol=1e-6, rtol=1e-5)
+    # and the accumulated params actually CHANGED (the step fired)
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(flat_a, jax.tree.leaves(params)))
+    assert moved
+
+
+def test_profiling_flops_and_timer():
+    from rag4dyg_tpu.utils.profiling import (
+        StepTimer,
+        lm_flops_per_token,
+        lm_train_flops,
+        mfu,
+    )
+
+    # hand-computed: L=2, D=4, S=8, V=10
+    per_tok = 24 * 2 * 16 + 4 * 2 * 8 * 4 + 2 * 4 * 10
+    assert lm_flops_per_token(2, 4, 8, 10) == per_tok
+    assert lm_train_flops(2, 4, 100, 8, vocab_size=10) == 3 * 100 * per_tok
+    assert lm_train_flops(2, 4, 100, 8, vocab_size=10,
+                          remat=True) == 4 * 100 * per_tok
+    assert abs(mfu(197e12, 2.0) - 0.5) < 1e-9
+    assert mfu(1.0, 0.0) == 0.0
+
+    t = StepTimer()
+    for _ in range(3):
+        with t.step():
+            pass
+    s = t.summary()
+    assert s["steps"] == 3 and s["p50_ms"] >= 0.0 and s["total_s"] >= 0.0

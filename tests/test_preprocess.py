@@ -2,6 +2,8 @@
 reproducible from committed inputs (all_data/dialog/dialog.csv ->
 all_data/dialog/15/ml_dialog.csv)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -68,3 +70,53 @@ def test_train_node_filter():
     # node 7 unseen in train window (timestamp < 1) -> its row dropped
     assert 7 not in set(out["u"]).union(out["i"])
     assert out["idx"].tolist() == list(range(1, len(out) + 1))
+
+
+def test_uci_golden_ml_csv_from_raw():
+    """L0 golden parity for UCI: the committed raw download
+    (out.opsahl-ucsocial) through window -> first-seen remap -> 10-day
+    slicing -> data_trans must reproduce the committed ml_uci.csv
+    (reference: all_data/uci/pre/UCI_13/preprocess.py +
+    all_data/uci/data_trans.py). The reference's final sort is pandas'
+    unstable quicksort and its edge orientation follows networkx
+    adjacency iteration, so rows compare canonically: as a multiset
+    keyed by (timestamp, unordered pair, ts)."""
+    import collections
+
+    raw = "/root/reference/all_data/uci/pre/UCI_13/out.opsahl-ucsocial"
+    gold = "/root/reference/all_data/uci/12/ml_uci.csv"
+    if not os.path.exists(raw):
+        pytest.skip("reference raw UCI download not present")
+
+    rows = []
+    with open(raw) as f:
+        for ln in f.read().splitlines():
+            if not ln or ln[0] == "%":
+                continue
+            x, y, _e, t = map(int, ln.split())
+            rows.append((x, y, t))
+    events = pd.DataFrame(rows, columns=["u", "i", "time"])
+
+    params = PREPROCESS_PARAMS["UCI_13"]
+    sliced = slice_events(events, params, remap=True)
+    table = make_timestep_table(sliced, 12, params)
+
+    golden = pd.read_csv(gold, index_col=0)
+
+    assert len(table) == len(golden)
+    # idx column is 1..N in both
+    assert list(table["idx"]) == list(range(1, len(table) + 1))
+    assert list(golden["idx"]) == list(range(1, len(golden) + 1))
+
+    def canon(df):
+        c = collections.Counter()
+        for u, i, ts, lab, t in zip(df["u"], df["i"], df["ts"],
+                                    df["label"], df["timestamp"]):
+            c[(int(t), min(int(u), int(i)), max(int(u), int(i)),
+               int(round(ts)), int(lab))] += 1
+        return c
+
+    assert canon(table) == canon(golden)
+    # both tables are globally sorted by ts
+    assert (np.diff(table["ts"].to_numpy()) >= 0).all()
+    assert (np.diff(golden["ts"].to_numpy()) >= 0).all()

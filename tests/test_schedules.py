@@ -38,3 +38,31 @@ def test_linear_warmup_linear_decay():
     np.testing.assert_allclose(float(sched(60)), 0.5)
     np.testing.assert_allclose(float(sched(110)), 0.0)
     assert float(sched(200)) == 0.0  # clamped past the end
+
+
+def test_epoch_cosine_matches_reference_adjust_learning_rate():
+    """Direct transliteration of the reference's adjust_learning_rate
+    (train/train_retriever.py:120-130): T = epoch*iters+i, epoch-gated
+    warmup, per-step cosine — our schedule must agree at EVERY step
+    including epoch boundaries (VERDICT r1 weak #8)."""
+    import math
+
+    def reference_lr(base_lr, warmup_epochs, total_epochs, ipe, epoch, i):
+        T = epoch * ipe + i
+        warmup_iters = warmup_epochs * ipe
+        total_iters = (total_epochs - warmup_epochs) * ipe
+        if epoch < warmup_epochs:
+            return base_lr * 1.0 * T / warmup_iters
+        T = T - warmup_iters
+        return 0.5 * base_lr * (1 + math.cos(1.0 * T / total_iters * math.pi))
+
+    for base_lr, warm, total, ipe in [(1e-5, 0, 50, 27), (1e-4, 2, 10, 7),
+                                      (1e-3, 1, 5, 3)]:
+        sched = epoch_cosine_schedule(base_lr, warm, total, ipe)
+        for epoch in range(total):
+            for i in range(ipe):
+                step = epoch * ipe + i
+                want = reference_lr(base_lr, warm, total, ipe, epoch, i)
+                got = float(sched(step))
+                assert abs(got - want) < 1e-9 + 1e-6 * abs(want), (
+                    epoch, i, got, want)
