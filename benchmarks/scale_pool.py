@@ -1,0 +1,169 @@
+"""Pool-axis scale evidence: fused score+top-k and the Jaccard build at
+the largest real pool (reddit) and at a synthetic north-star pool
+(1e5+ sequences — BASELINE.json configs[4]'s million-edge regime), on a
+single chip and mesh-sharded.
+
+Usage:
+    # real chip (single-device paths + timings)
+    python benchmarks/scale_pool.py --mode chip
+    # virtual 8-device CPU mesh (sharded correctness + timings)
+    python benchmarks/scale_pool.py --mode mesh
+
+Measurement rules (CLAUDE.md): every timed device computation runs inside
+one jitted ``lax.scan`` whose input varies per iteration and whose carry
+is value-verified on the host — the remote relay memoizes repeated
+identical dispatches and loose timings cannot be trusted.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REDDIT_RESOURCES = "runs/reddit/resources"
+TOPK = 10
+DIM = 512
+
+
+def _setup(mode: str):
+    import jax
+
+    if mode == "mesh":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    from rag4dyg_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+    return jax
+
+
+def bench_topk(jax, pool_rows: int, mesh=None, reps: int = 50,
+               queries: int = 1024):
+    """Queries/sec through DenseIndex.topk_device at [pool_rows, DIM]."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag4dyg_tpu.pool.index import DenseIndex
+
+    rng = np.random.RandomState(0)
+    pool = rng.randn(pool_rows, DIM).astype(np.float32)
+    q = rng.randn(queries, DIM).astype(np.float32)
+    idx = DenseIndex(pool, mesh=mesh, use_pallas=(mesh is None))
+
+    def one(qx):
+        s, _ = idx.topk_device(qx, TOPK)
+        return s
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(qx, reps):
+        def body(carry, _):
+            s = one(qx + carry * 1e-6)
+            return carry + s[0, 0], None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return carry
+
+    qd = jax.device_put(q)
+    jax.block_until_ready(run(qd, reps))            # compile + warm
+    qd2 = jax.device_put(rng.randn(queries, DIM).astype(np.float32))
+    jax.block_until_ready(qd2)
+    t0 = time.perf_counter()
+    v = float(run(qd2, reps))
+    dt = time.perf_counter() - t0
+    assert v > 0.0, "scan carry did not accumulate"
+    return reps * queries / dt
+
+
+def bench_jaccard(jax, n_queries: int, n_rows: int, vocab: int, mesh=None,
+                  avg_set: int = 24):
+    """Seconds for one n_queries x n_rows Jaccard matrix (the val/test x
+    train annotation shape), end-to-end incl. host one-hot build and
+    result download; bit-verified on a corner vs the reference oracle."""
+    import numpy as np
+
+    from rag4dyg_tpu.pool.jaccard import jaccard_matrix, reference_pairs_matrix
+
+    rng = np.random.RandomState(1)
+    sets = [set(rng.choice(vocab, size=max(1, rng.poisson(avg_set)),
+                           replace=False).tolist()) for _ in range(n_rows)]
+    qsets = sets[:n_queries]
+    t0 = time.perf_counter()
+    out = jaccard_matrix(qsets, sets, token_to_id=int, vocab_size=vocab,
+                         mesh=mesh)
+    dt = time.perf_counter() - t0
+    # spot bit-verification on a 64-row corner against the reference oracle
+    ref = reference_pairs_matrix(qsets[:64], sets[:64])
+    assert np.array_equal(out[:64, :64], ref), "Jaccard != reference oracle"
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["chip", "mesh"], required=True)
+    ap.add_argument("--synthetic-rows", type=int, default=None)
+    ap.add_argument("--synthetic-queries", type=int, default=None)
+    ap.add_argument("--synthetic-vocab", type=int, default=None)
+    ap.add_argument("--skip-jaccard-synthetic", action="store_true")
+    ap.add_argument("--skip-reddit", action="store_true")
+    args = ap.parse_args()
+    # mesh mode runs on 8 virtual CPU devices of ONE core: shapes shrink
+    # to prove the sharded path (correctness + execution), not to race it
+    if args.synthetic_rows is None:
+        args.synthetic_rows = 100_000 if args.mode == "chip" else 4096
+    if args.synthetic_queries is None:
+        args.synthetic_queries = 8192 if args.mode == "chip" else 256
+    if args.synthetic_vocab is None:
+        args.synthetic_vocab = 65_536 if args.mode == "chip" else 4096
+
+    jax = _setup(args.mode)
+    mesh = None
+    if args.mode == "mesh":
+        from rag4dyg_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=8, n_model=1)
+
+    results = {"mode": args.mode,
+               "platform": jax.devices()[0].platform,
+               "n_devices": len(jax.devices())}
+
+    # real reddit pool shape
+    if os.path.exists(REDDIT_RESOURCES) and not args.skip_reddit:
+        from rag4dyg_tpu.data.serialize import read_corpus_lines
+        from rag4dyg_tpu.data.vocab import Tokenizer
+        from rag4dyg_tpu.pool.jaccard import parse_inout_sets
+
+        train = read_corpus_lines(
+            os.path.join(REDDIT_RESOURCES, "train.link_prediction"))
+        tok = Tokenizer.from_vocab_file(
+            os.path.join(REDDIT_RESOURCES, "vocab.json"), timestep=11)
+        results["reddit_pool_rows"] = len(train)
+        results["reddit_topk_qps"] = round(
+            bench_topk(jax, len(train), mesh=mesh), 1)
+        _, out_sets = parse_inout_sets(train, train)
+        from rag4dyg_tpu.pool.jaccard import jaccard_matrix, \
+            reference_pairs_matrix
+        import numpy as np
+        t0 = time.perf_counter()
+        mat = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok),
+                             mesh=mesh)
+        results["reddit_jaccard_seconds"] = round(time.perf_counter() - t0, 2)
+        ref = reference_pairs_matrix(out_sets[:64], out_sets[:64])
+        assert np.array_equal(mat[:64, :64], ref)
+
+    # synthetic north-star pool
+    results["synth_rows"] = args.synthetic_rows
+    results["synth_topk_qps"] = round(
+        bench_topk(jax, args.synthetic_rows, mesh=mesh), 1)
+    if not args.skip_jaccard_synthetic:
+        results["synth_jaccard_queries"] = args.synthetic_queries
+        results["synth_jaccard_seconds"] = round(
+            bench_jaccard(jax, args.synthetic_queries, args.synthetic_rows,
+                          args.synthetic_vocab, mesh=mesh), 2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
