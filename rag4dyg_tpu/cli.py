@@ -170,7 +170,25 @@ def cmd_train_generator(args):
 def cmd_eval(args):
     """Decode-and-score a checkpoint. Generator checkpoints (param tree
     contains 'fusion') evaluate the full RAG path using the retrieval
-    index files under <resources>/retrieval_result (or --retrieval-dir)."""
+    index files under <resources>/retrieval_result (or --retrieval-dir).
+    With --all-checkpoints, every checkpoint-* dir under --checkpoint is
+    evaluated (reference: main_SimpleDyG.py:469-488)."""
+    if getattr(args, "all_checkpoints", False):
+        import copy
+        import glob as _glob
+        ckpts = sorted(
+            os.path.dirname(p) for p in _glob.glob(
+                os.path.join(args.checkpoint, "**", "params.msgpack"),
+                recursive=True))
+        if not ckpts:
+            sys.exit(f"no checkpoints under {args.checkpoint}")
+        for c in ckpts:
+            sub = copy.copy(args)
+            sub.all_checkpoints = False
+            sub.checkpoint = c
+            print(c)
+            cmd_eval(sub)
+        return
     from rag4dyg_tpu.data.serialize import read_corpus_lines
     from rag4dyg_tpu.eval.evaluate import generation_eval
     from rag4dyg_tpu.models import GPT2LMModel
@@ -407,6 +425,9 @@ def main(argv=None):
     ev.add_argument("--split", default="test", choices=["val", "test"])
     ev.add_argument("--retrieval-dir", default=None,
                     help="dir with {split}_index.gen for RAG checkpoints")
+    ev.add_argument("--all-checkpoints", action="store_true",
+                    help="evaluate every checkpoint-* under --checkpoint "
+                         "(reference --eval_all_checkpoints)")
     pipe = sub.add_parser("pipeline")
     common(pipe, csv=True, out=True, train=True)
     w2v = sub.add_parser("word2vec")
