@@ -160,3 +160,46 @@ def test_fused_embedding_multilayer_mlp():
     toks = jnp.asarray(np.random.RandomState(1).randint(0, 32, (2, 16)))
     out = fused_embedding(params, "mlp", wte, toks, m=2)
     assert out.shape == (2, 2, 8)
+
+
+def test_generator_eval_loss_matches_manual():
+    """The scanned val-loss dispatch equals a direct per-batch computation
+    (reference evaluate(): mean over batches of mean CE with m ignore
+    slots, train/train_generator.py:269-313)."""
+    from rag4dyg_tpu.models.fusion import splice_labels
+    from rag4dyg_tpu.train.generator import (
+        fused_embedding,
+        make_generator_eval_loss,
+    )
+    from rag4dyg_tpu.train.losses import shift_ce_loss
+
+    cfg = ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                      n_positions=64, embd_pdrop=0.0, attn_pdrop=0.0,
+                      resid_pdrop=0.0)
+    model = GPT2LMModel(cfg)
+    params = dict(init_params(cfg, jax.random.PRNGKey(0)))
+    params["fusion"] = init_fusion_params(jax.random.PRNGKey(1), cfg,
+                                          "graphpooling", m=1)
+    rng = np.random.RandomState(0)
+    S, B, L = 2, 3, 8
+    batches = jnp.asarray(rng.randint(0, 32, (S, B, L)), jnp.int32)
+    d_ids = jnp.asarray(rng.randint(0, 32, (S, B, 2, 5)), jnp.int32)
+    d_valid = jnp.ones((S, B, 2, 5), bool)
+
+    loss = float(make_generator_eval_loss(model, fusion="graphpooling",
+                                          m=1)(params, batches, d_ids,
+                                               d_valid))
+
+    manual = []
+    for s in range(S):
+        fused = fused_embedding(params, "graphpooling", params["wte"],
+                                d_ids[s], d_valid[s], m=1)
+        embeds = jnp.take(params["wte"], batches[s], axis=0)
+        embeds = jnp.concatenate([embeds[:, :2], fused, embeds[:, 2:]],
+                                 axis=1)
+        logits, _, _ = model.apply(
+            {"params": {k: v for k, v in params.items() if k != "fusion"}},
+            inputs_embeds=embeds, deterministic=True)
+        manual.append(float(shift_ce_loss(logits,
+                                          splice_labels(batches[s], 1))))
+    assert abs(loss - np.mean(manual)) < 1e-5
