@@ -206,12 +206,20 @@ def splice_prefill(wte: jnp.ndarray, ids: jnp.ndarray,
 
 
 def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
-                              m: int, gnn_dropout: float = 0.2):
+                              m: int, gnn_dropout: float = 0.2,
+                              freeze: bool = False):
+    """``freeze=True`` stop-gradients every non-fusion param inside the
+    loss so XLA never builds their weight-gradient einsums (~1/3 of the
+    backward FLOPs); the optimizer's multi_transform freeze then sees
+    symbolic zeros instead of computed-and-discarded gradients."""
     @jax.jit
     def step(params, opt_state, batch, demo_ids, demo_valid, rng):
         rng, fusion_rng = jax.random.split(rng)
 
         def loss_fn(p):
+            if freeze:
+                p = {k: (v if k == "fusion" else jax.lax.stop_gradient(v))
+                     for k, v in p.items()}
             wte = p["wte"]
             fused = fused_embedding(p, fusion, wte, demo_ids, demo_valid,
                                     m=m, dropout_rate=gnn_dropout,
@@ -234,7 +242,7 @@ def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
 
 
 def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
-                            gnn_dropout: float = 0.2):
+                            gnn_dropout: float = 0.2, freeze: bool = False):
     """Whole-epoch ``lax.scan`` for graphpooling fusion: query rows AND
     demonstrations are gathered on device from the resident pool, so each
     epoch ships only [S, B] row indices + [S, B, K] demo indices (one
@@ -242,7 +250,7 @@ def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
     as the retriever's epoch scan)."""
     step = make_generator_train_step(model, optimizer,
                                      fusion="graphpooling", m=m,
-                                     gnn_dropout=gnn_dropout)
+                                     gnn_dropout=gnn_dropout, freeze=freeze)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, pool_valid, rows_all, topk_all,
@@ -420,13 +428,15 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     opt_state = optimizer.init(params)
     if gcfg.fusion == "graphpooling":
         epoch_fn, train_step = make_generator_epoch_fn(
-            model, optimizer, m=gcfg.m, gnn_dropout=gcfg.gnn_dropout)
+            model, optimizer, m=gcfg.m, gnn_dropout=gcfg.gnn_dropout,
+            freeze=frozen_labels is not None)
         topk_table = np.asarray([r[: gcfg.top_k] for r in train_index],
                                 np.int32)
     else:
         epoch_fn = None
-        train_step = make_generator_train_step(model, optimizer,
-                                               fusion=gcfg.fusion, m=gcfg.m)
+        train_step = make_generator_train_step(
+            model, optimizer, fusion=gcfg.fusion, m=gcfg.m,
+            freeze=frozen_labels is not None)
 
     node_vocab = tokenizer.node_vocab
     fusion_pad = gcfg.fusion_pad_len

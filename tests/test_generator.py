@@ -203,3 +203,39 @@ def test_generator_eval_loss_matches_manual():
         manual.append(float(shift_ce_loss(logits,
                                           splice_labels(batches[s], 1))))
     assert abs(loss - np.mean(manual)) < 1e-5
+
+
+def test_generator_freeze_stop_gradient_equivalent():
+    """freeze=True (stop_gradient on the backbone) produces the SAME
+    fusion update as freeze=False under the multi_transform freeze —
+    only cheaper."""
+    cfg = ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                      n_positions=64, embd_pdrop=0.0, attn_pdrop=0.0,
+                      resid_pdrop=0.0)
+    model = GPT2LMModel(cfg)
+    params = dict(init_params(cfg, jax.random.PRNGKey(0)))
+    params["fusion"] = init_fusion_params(jax.random.PRNGKey(1), cfg,
+                                          "graphpooling", m=1)
+    frozen_labels = {
+        k: jax.tree.map(
+            lambda _: "trainable" if k == "fusion" else "frozen", v)
+        for k, v in params.items()}
+    optimizer = make_optimizer(params,
+                               linear_warmup_linear_decay(1e-2, 0, 10),
+                               frozen_labels=frozen_labels)
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.randint(0, 32, (2, 8)), jnp.int32)
+    demo_ids = jnp.asarray(rng.randint(0, 32, (2, 3, 5)), jnp.int32)
+    demo_valid = jnp.ones((2, 3, 5), bool)
+
+    outs = {}
+    for freeze in (False, True):
+        step = make_generator_train_step(model, optimizer,
+                                         fusion="graphpooling", m=1,
+                                         freeze=freeze)
+        p, _, loss = step(params, optimizer.init(params), batch,
+                          demo_ids, demo_valid, jax.random.PRNGKey(2))
+        outs[freeze] = (float(loss), np.asarray(p["fusion"]["kernel"]))
+    assert abs(outs[False][0] - outs[True][0]) < 1e-6
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               atol=1e-6, rtol=1e-6)
