@@ -1,0 +1,79 @@
+"""Measure fused_score_topk under MXU precision modes and verify result
+equality: DEFAULT (1 bf16 pass), HIGH (bf16x3), HIGHEST (6-pass f32).
+
+For each mode, times the bench.py scan-carry workload and compares the
+top-k indices/scores against the host f32 oracle on a query sample. If
+HIGH reproduces the oracle ranking exactly on the workload, it is a safe
+~2x-throughput default for serving; HIGHEST stays the parity mode.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+POOL, DIM, QUERIES, TOPK = 16384, 512, 2048, 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag4dyg_tpu.cli import _enable_compile_cache
+    from rag4dyg_tpu.ops.topk_pallas import fused_score_topk, topk_reference
+
+    _enable_compile_cache()
+    rng = np.random.RandomState(0)
+    pool = rng.randn(POOL, DIM).astype(np.float32)
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    q = rng.randn(QUERIES, DIM).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    pool_dev = jax.device_put(pool)
+
+    ref_s, ref_i = topk_reference(qn[:256], pool, TOPK)
+
+    out = {}
+    for name, prec in [("DEFAULT", jax.lax.Precision.DEFAULT),
+                       ("HIGH", jax.lax.Precision.HIGH),
+                       ("HIGHEST", jax.lax.Precision.HIGHEST)]:
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def run(qx, p, reps, prec=prec):
+            def body(carry, _):
+                s, _ = fused_score_topk(qx + carry * 1e-6, p, k=TOPK,
+                                        n_valid=POOL, normalize=True,
+                                        precision=prec)
+                return carry + s[0, 0], None
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=reps)
+            return carry
+
+        s, i = jax.jit(functools.partial(
+            fused_score_topk, k=TOPK, n_valid=POOL, normalize=True,
+            precision=prec))(jax.device_put(q[:256]), pool_dev)
+        s, i = np.asarray(s), np.asarray(i)
+        idx_equal = bool((i == ref_i).all())
+        max_err = float(np.abs(s - ref_s).max())
+
+        qx = jax.device_put(rng.randn(QUERIES, DIM).astype(np.float32))
+        jax.block_until_ready(run(qx, pool_dev, 300))
+        qy = jax.device_put(rng.randn(QUERIES, DIM).astype(np.float32))
+        jax.block_until_ready(qy)
+        t0 = time.perf_counter()
+        v = float(run(qy, pool_dev, 300))
+        t300 = time.perf_counter() - t0
+        assert v > 100.0, f"carry {v}"
+        t0 = time.perf_counter()
+        v = float(run(qy, pool_dev, 600))
+        t600 = time.perf_counter() - t0
+        qps = 300 * QUERIES / max(t600 - t300, 1e-9)
+        out[name] = {"qps": round(qps, 1), "topk_idx_equal_f32": idx_equal,
+                     "max_score_err": max_err}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,7 @@ def _merge_topk(cat_s: jnp.ndarray, cat_i: jnp.ndarray, k: int
 
 
 def _topk_kernel(q_ref, p_ref, s_out, i_out, *, k: int, tile_n: int,
-                 n_valid: int):
+                 n_valid: int, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -61,10 +61,12 @@ def _topk_kernel(q_ref, p_ref, s_out, i_out, *, k: int, tile_n: int,
     p = p_ref[:]                                          # [TN, D]
     cos = jax.lax.dot_general(
         q, p, dimension_numbers=(((1,), (1,)), ((), ())),
-        # HIGHEST: true-f32 multi-pass on the MXU — the default single
+        # HIGHEST (default): true-f32 multi-pass on the MXU — the single
         # bf16 pass perturbs scores ~1e-3 and reorders near-ties vs the
-        # reference's f32 cosine
-        precision=jax.lax.Precision.HIGHEST,
+        # reference's f32 cosine. HIGH (bf16x3) is ~2x faster at ~f32
+        # accuracy; select per-call when tie-order is verified not to
+        # matter for the workload.
+        precision=precision,
         preferred_element_type=jnp.float32)               # [TB, TN]
     scores = (cos + 1.0) * 0.5
 
@@ -85,11 +87,12 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "n_valid", "tile_b", "tile_n",
-                                    "interpret", "normalize"))
+                                    "interpret", "normalize", "precision"))
 def fused_score_topk(queries: jnp.ndarray, pool_normed: jnp.ndarray, *,
                      k: int, n_valid: int, tile_b: int = 128,
                      tile_n: int = 512, interpret: bool = False,
-                     normalize: bool = False
+                     normalize: bool = False,
+                     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k rescaled-cosine scores of normalized ``queries`` [B, D]
     against normalized ``pool_normed`` [N, D] (N, D already padded to tile
@@ -111,7 +114,7 @@ def fused_score_topk(queries: jnp.ndarray, pool_normed: jnp.ndarray, *,
     out_lanes = _round_up(k, 128)
     grid = (Bp // tile_b, N // tile_n)
     kernel = functools.partial(_topk_kernel, k=k, tile_n=tile_n,
-                               n_valid=n_valid)
+                               n_valid=n_valid, precision=precision)
     s, i = pl.pallas_call(
         kernel,
         grid=grid,
