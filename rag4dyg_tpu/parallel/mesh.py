@@ -133,6 +133,83 @@ def make_sharded_lm_train_step(model, optimizer, mesh: Mesh,
     return step_with_shardings, params, opt_state
 
 
+def make_sharded_retriever_step(model, optimizer, mesh: Mesh,
+                                params: Dict[str, Any], *, alpha: float,
+                                temperature: float, lambda_decay: float,
+                                eta: float, gamma: float, mask_token: int,
+                                pad_id: int, pool_mode: str = "masked"):
+    """Sharded twin of train.retriever.make_retriever_train_step.
+
+    The triple batch is sharded over ``data``; the CLtime loss's
+    [B, 3B] in-batch-negative cosine matrix spans the whole global batch,
+    so XLA inserts the embedding all-gather across ``data`` — the math is
+    EXACTLY the single-device loss (contrast SimCLR-style local-negatives
+    approximations). Gradients all-reduce over ``data``; tensor-parallel
+    kernels shard over ``model`` as in the LM step.
+
+    Returns (step_fn, sharded_params, opt_state).
+    """
+    from rag4dyg_tpu.models.augment import augment_views
+    from rag4dyg_tpu.train.losses import cltime_loss, info_nce_loss
+    from rag4dyg_tpu.train.retriever import mean_pool
+
+    specs = param_partition_specs(params)
+    params = shard_params(params, mesh, specs)
+    param_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+    opt_shardings = _opt_state_shardings(optimizer, params, specs, mesh)
+    opt_state = jax.jit(optimizer.init, in_shardings=(param_shardings,),
+                        out_shardings=opt_shardings)(params)
+    repl = NamedSharding(mesh, P())
+    row_spec = NamedSharding(mesh, P("data"))
+    batch_cs = P(None, "data", None)  # stacked [5, B, L] passes
+
+    def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng):
+        anchor = jnp.take(pool_ids, idx[:, 0], axis=0)
+        pos = jnp.take(pool_ids, idx[:, 1], axis=0)
+        neg = jnp.take(pool_ids, idx[:, 2], axis=0)
+        drop_rng, aug_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            @jax.checkpoint
+            def encode(ids, pass_rng):
+                _, h, _ = model.apply({"params": p}, ids,
+                                      deterministic=False,
+                                      rngs={"dropout": pass_rng},
+                                      compute_logits=False)
+                return mean_pool(h, ids, pad_id, pool_mode)
+
+            aug1, aug2 = augment_views(anchor, aug_rng, eta=eta,
+                                       gamma=gamma, mask_token=mask_token)
+            stacked = jax.lax.with_sharding_constraint(
+                jnp.stack([anchor, pos, neg, aug1, aug2]),
+                NamedSharding(mesh, batch_cs))
+            pass_rngs = jax.vmap(
+                lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(5))
+
+            def body(_, xs):
+                ids, r = xs
+                return None, encode(ids, r)
+            _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
+            h_a, h_p, h_n, z1, z2 = embs
+            cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
+                             temperature=temperature,
+                             decay_rate=lambda_decay)
+            aug = alpha * info_nce_loss(z1, z2, temperature)
+            return cl + aug
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step_jit = jax.jit(
+        step,
+        in_shardings=(param_shardings, opt_shardings, repl,
+                      NamedSharding(mesh, P("data", None)), row_spec,
+                      row_spec, row_spec, repl))
+    return step_jit, params, opt_state
+
+
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(jnp.asarray(batch),
                           NamedSharding(mesh, P("data", None)))
