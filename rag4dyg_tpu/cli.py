@@ -132,6 +132,8 @@ def cmd_train_backbone(args):
     spec = _spec(args)
     res = train_backbone(spec, args.resources, args.out, epochs=args.epochs,
                          seed=args.seed, dtype=args.dtype,
+                         attention_impl=getattr(args, "attention_impl",
+                                                "xla") or "xla",
                          node_features=_node_features(spec, args),
                          save_every=getattr(args, "save_every", 0) or 0,
                          resume=getattr(args, "resume", False),
@@ -147,6 +149,8 @@ def cmd_train_retriever(args):
     res = train_retriever(spec, args.resources, args.out,
                           backbone_ckpt=args.backbone, epochs=args.epochs,
                           seed=args.seed, dtype=args.dtype,
+                          attention_impl=getattr(args, "attention_impl",
+                                                 "xla") or "xla",
                           gen_out_dir=os.path.join(args.resources,
                                                    "retrieval_result"),
                           **_train_caps(args))
@@ -161,6 +165,8 @@ def cmd_train_generator(args):
     res = train_generator(spec, args.resources, args.out,
                           backbone_ckpt=args.backbone, epochs=args.epochs,
                           seed=args.seed, dtype=args.dtype,
+                          attention_impl=getattr(args, "attention_impl",
+                                                 "xla") or "xla",
                           **_train_caps(args))
     print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
                       "test": res.test_metrics,
@@ -334,6 +340,7 @@ def cmd_pipeline(args):
         a.epochs = args.epochs
         a.seed = args.seed
         a.dtype = args.dtype
+        a.attention_impl = getattr(args, "attention_impl", "xla")
         a.smoke = getattr(args, "smoke", False)
         a.node_features = getattr(args, "node_features", None)
         a.pool_mode = getattr(args, "pool_mode", None)
@@ -379,6 +386,11 @@ def main(argv=None):
             sp.add_argument("--epochs", type=int, default=None)
             sp.add_argument("--dtype", default="float32",
                             choices=["float32", "bfloat16"])
+            sp.add_argument("--attention-impl", default="xla",
+                            choices=["xla", "flash"],
+                            help="no-cache attention path: XLA einsum or "
+                                 "the fused Pallas flash kernel "
+                                 "(ops/flash_attention.py)")
             sp.add_argument("--backbone", default=None,
                             help="backbone checkpoint dir for transfer")
             sp.add_argument("--save-every", type=int, default=0,

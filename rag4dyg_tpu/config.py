@@ -38,6 +38,12 @@ class ModelConfig:
     # TPU compute dtype for activations ("float32" or "bfloat16"); params
     # are always float32.
     dtype: str = "float32"
+    # attention implementation for the no-cache (training/encode) path:
+    # "xla" materializes [B, H, L, L] scores through HBM (threefry attention
+    # dropout); "flash" runs the fused Pallas kernel (ops/flash_attention.py
+    # — VMEM-resident tile, hash-based in-kernel dropout). The KV-cache
+    # decode path always uses the XLA form. Requires L <= 1024.
+    attention_impl: str = "xla"
     # contrastive-augmentation hyperparameters carried on the config like the
     # reference does (reference: utils/tokenizer.py:24-26)
     eta: float = 0.8

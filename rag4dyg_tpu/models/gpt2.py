@@ -66,6 +66,30 @@ class CausalSelfAttention(nn.Module):
         k = k.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
 
+        # fused Pallas path for the train/encode (no-cache, no-pad-mask)
+        # shape — the [L, L] scores never touch HBM and attention dropout
+        # is drawn in-kernel (ops/flash_attention.py). The KV-cache decode
+        # and masked-prefill shapes keep the XLA form.
+        if (cfg.attention_impl == "flash" and cache_kv is None
+                and pad_mask is None):
+            # local import: ops.__init__ imports ops.decode which imports
+            # this module (cache helpers) — module-level would be circular
+            from rag4dyg_tpu.ops.flash_attention import flash_attention
+            rate = 0.0 if deterministic else cfg.attn_pdrop
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                ).astype(jnp.int32)
+            y = flash_attention(
+                q, k, v, scale=1.0 / np.sqrt(Dh), dropout_rate=rate,
+                dropout_seed=seed).astype(x.dtype)
+            y = y.transpose(0, 2, 1, 3).reshape(B, L, D)
+            y = nn.Dense(D, kernel_init=_dense_init(cfg), name="c_proj",
+                         dtype=x.dtype)(y)
+            y = nn.Dropout(cfg.resid_pdrop)(y, deterministic=deterministic)
+            return y, None
+
         if cache_kv is not None:
             ck, cv = cache_kv  # [B,H,T,Dh] pre-sized
             T = ck.shape[2]

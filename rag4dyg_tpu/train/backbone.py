@@ -107,10 +107,11 @@ def make_lm_epoch_fn(model: GPT2LMModel, optimizer):
 
 def build_backbone(spec: DatasetSpec, tokenizer: Tokenizer,
                    rng: jax.Array, *, dtype: str = "float32",
+                   attention_impl: str = "xla",
                    node_features: Optional[np.ndarray] = None):
     config = ModelConfig(
         vocab_size=len(tokenizer), n_layer=spec.n_layer, n_head=spec.n_head,
-        n_embd=spec.n_embd, dtype=dtype)
+        n_embd=spec.n_embd, dtype=dtype, attention_impl=attention_impl)
     model = GPT2LMModel(config)
     params = init_params(config, rng)
     if node_features is not None:
@@ -121,7 +122,8 @@ def build_backbone(spec: DatasetSpec, tokenizer: Tokenizer,
 
 def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                    epochs: Optional[int] = None, seed: Optional[int] = None,
-                   dtype: str = "float32", eval_batch_size: int = 64,
+                   dtype: str = "float32", attention_impl: str = "xla",
+                   eval_batch_size: int = 64,
                    node_features: Optional[np.ndarray] = None,
                    max_steps_per_epoch: Optional[int] = None,
                    max_eval_queries: Optional[int] = None,
@@ -159,6 +161,7 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     init_rng = jax.random.fold_in(base_rng, 0)
     model, params = build_backbone(spec, tokenizer, init_rng, dtype=dtype,
+                                   attention_impl=attention_impl,
                                    node_features=node_features)
 
     steps_per_epoch = len(examples) // spec.batch_size

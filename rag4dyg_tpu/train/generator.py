@@ -340,7 +340,8 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     retrieval_dir: Optional[str] = None,
                     generator_dir: Optional[str] = None,
                     epochs: Optional[int] = None, seed: Optional[int] = None,
-                    dtype: str = "float32", eval_batch_size: int = 32,
+                    dtype: str = "float32", attention_impl: str = "xla",
+                    eval_batch_size: int = 32,
                     accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
@@ -394,7 +395,8 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                  test_index[:max_eval_queries])
 
     config = ModelConfig(vocab_size=len(tokenizer), n_layer=spec.n_layer,
-                         n_head=spec.n_head, n_embd=spec.n_embd, dtype=dtype)
+                         n_head=spec.n_head, n_embd=spec.n_embd, dtype=dtype,
+                         attention_impl=attention_impl)
     model = GPT2LMModel(config)
     rng, init_rng, fusion_rng = jax.random.split(rng, 3)
     params = init_params(config, init_rng)

@@ -324,6 +324,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     query_times: Optional[np.ndarray] = None,
                     epochs: Optional[int] = None,
                     seed: Optional[int] = None, dtype: str = "float32",
+                    attention_impl: str = "xla",
                     eval_batch_size: int = 32, accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
@@ -365,6 +366,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     config = ModelConfig(vocab_size=len(tokenizer), n_layer=rcfg.n_layer,
                          n_head=rcfg.n_head, n_embd=rcfg.n_embd, dtype=dtype,
+                         attention_impl=attention_impl,
                          eta=rcfg.eta, gamma=rcfg.gamma)
     model = GPT2LMModel(config)
     rng, init_rng = jax.random.split(rng)

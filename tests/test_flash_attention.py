@@ -1,0 +1,168 @@
+"""Flash-attention Pallas kernel vs the XLA oracle (interpret mode on CPU;
+the same kernel compiles for TPU).
+
+The dropout tests replicate the kernel's counter-based lowbias32 hash in
+numpy, so the dropped-entry pattern — and therefore the forward output and
+the custom-VJP gradients — are pinned exactly, not just statistically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag4dyg_tpu.config import ModelConfig
+from rag4dyg_tpu.models.gpt2 import GPT2LMModel, init_params
+from rag4dyg_tpu.ops.flash_attention import (MAX_FLASH_LEN,
+                                             attention_reference,
+                                             flash_attention)
+
+
+def _rand(rng, *shape):
+    return rng.randn(*shape).astype(np.float32)
+
+
+def _qkv(seed, B, H, L, Dh):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(_rand(rng, B, H, L, Dh)) for _ in range(3))
+
+
+@pytest.mark.parametrize("B,H,L,Dh", [(2, 3, 128, 128), (1, 2, 100, 96),
+                                      (2, 1, 257, 64)])
+def test_fwd_matches_reference(B, H, L, Dh):
+    q, k, v = _qkv(0, B, H, L, Dh)
+    out = flash_attention(q, k, v)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("B,H,L,Dh", [(2, 2, 128, 128), (1, 2, 70, 96)])
+def test_grads_match_reference(B, H, L, Dh):
+    q, k, v = _qkv(1, B, H, L, Dh)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.tanh(fn(q, k, v)))
+
+    gf = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+# --- exact replica of ops/flash_attention._keep_mask ----------------------
+
+def _keep_mask_oracle(seed, pid, shape, rate):
+    h0 = (np.uint64(np.uint32(seed)) ^
+          ((np.uint64(pid + 1) * np.uint64(0x9E3779B9)) & np.uint64(0xFFFFFFFF)))
+    idx = np.arange(shape[0] * shape[1], dtype=np.uint64).reshape(shape)
+    row, col = np.divmod(idx, np.uint64(shape[1]))
+    x = (row * np.uint64(shape[1]) + col + h0) & np.uint64(0xFFFFFFFF)
+    for mult, shift in ((0x7FEB352D, 16), (0x846CA68B, 15)):
+        x ^= x >> np.uint64(shift)
+        x = (x * np.uint64(mult)) & np.uint64(0xFFFFFFFF)
+    x ^= x >> np.uint64(16)
+    cutoff = min(int(rate * 4294967296.0), 4294967295)
+    return x >= np.uint64(cutoff)
+
+
+def _oracle_dropout_attention(q, k, v, seed, rate):
+    B, H, L, Dh = q.shape
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(Dh)
+    mask = jnp.tril(jnp.ones((L, L), bool))[None, None]
+    att = jax.nn.softmax(jnp.where(mask, att, -1e9), axis=-1)
+    keep = np.stack([_keep_mask_oracle(seed, b * H + h, (L, L), rate)
+                     for b in range(B) for h in range(H)]).reshape(B, H, L, L)
+    att = jnp.where(jnp.asarray(keep), att, 0.0) / (1.0 - rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v)
+
+
+def test_dropout_matches_hash_oracle_exactly():
+    B, H, L, Dh = 2, 3, 128, 128  # unpadded: oracle indices line up 1:1
+    q, k, v = _qkv(2, B, H, L, Dh)
+    rate, seed = 0.3, 1234
+    out = flash_attention(q, k, v, dropout_rate=rate, dropout_seed=seed)
+    ref = _oracle_dropout_attention(q, k, v, seed, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # the hash's drop fraction is plausible for Bernoulli(rate)
+    keep = np.stack([_keep_mask_oracle(seed, p, (L, L), rate)
+                     for p in range(B * H)])
+    assert 0.28 < 1.0 - keep.mean() < 0.32
+
+
+def test_dropout_grads_match_hash_oracle():
+    B, H, L, Dh = 1, 2, 128, 128
+    q, k, v = _qkv(3, B, H, L, Dh)
+    rate, seed = 0.25, 77
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.tanh(fn(q, k, v)))
+
+    gf = jax.grad(loss(lambda q, k, v: flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=seed)),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda q, k, v: _oracle_dropout_attention(
+        q, k, v, seed, rate)), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_dropout_deterministic_per_seed():
+    q, k, v = _qkv(4, 1, 2, 128, 64)
+    a = flash_attention(q, k, v, dropout_rate=0.2, dropout_seed=9)
+    b = flash_attention(q, k, v, dropout_rate=0.2, dropout_seed=9)
+    c = flash_attention(q, k, v, dropout_rate=0.2, dropout_seed=10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.any(np.asarray(a) != np.asarray(c))
+
+
+def test_wrapper_guards():
+    q = jnp.zeros((1, 1, MAX_FLASH_LEN + 1, 64))
+    with pytest.raises(ValueError, match="VMEM"):
+        flash_attention(q, q, q)
+    q = jnp.zeros((1, 1, 8, 8))
+    with pytest.raises(ValueError, match="seed"):
+        flash_attention(q, q, q, dropout_rate=0.1)
+
+
+# --- model integration ----------------------------------------------------
+
+def _tiny_config(impl):
+    return ModelConfig(vocab_size=50, n_layer=2, n_head=2, n_embd=32,
+                       n_positions=64, attention_impl=impl)
+
+
+def test_model_flash_matches_xla_deterministic():
+    ids = jnp.asarray(np.random.RandomState(5).randint(0, 50, (3, 40)),
+                      jnp.int32)
+    params = init_params(_tiny_config("xla"), jax.random.PRNGKey(0),
+                         example_len=8)
+    logits_x, hid_x, _ = GPT2LMModel(_tiny_config("xla")).apply(
+        {"params": params}, ids)
+    logits_f, hid_f, _ = GPT2LMModel(_tiny_config("flash")).apply(
+        {"params": params}, ids)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_x),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(hid_f), np.asarray(hid_x),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_model_flash_training_mode_runs_and_differs():
+    """Non-deterministic (dropout) flash pass: exercises the in-kernel
+    dropout seed derivation from the flax rng stream."""
+    cfg = _tiny_config("flash")
+    ids = jnp.asarray(np.random.RandomState(6).randint(0, 50, (2, 16)),
+                      jnp.int32)
+    params = init_params(cfg, jax.random.PRNGKey(1), example_len=8)
+    model = GPT2LMModel(cfg)
+    l1, _, _ = model.apply({"params": params}, ids, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    l2, _, _ = model.apply({"params": params}, ids, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+    l_det, _, _ = model.apply({"params": params}, ids)
+    assert np.any(np.asarray(l1) != np.asarray(l2))
+    assert np.all(np.isfinite(np.asarray(l1)))
+    assert np.any(np.asarray(l1) != np.asarray(l_det))
