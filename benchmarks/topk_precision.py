@@ -1,10 +1,12 @@
 """Measure fused_score_topk under MXU precision modes and verify result
-equality: DEFAULT (1 bf16 pass), HIGH (bf16x3), HIGHEST (6-pass f32).
+equality: DEFAULT (1 bf16 pass) vs HIGHEST (6-pass f32). HIGH (bf16x3)
+is not lowerable inside a Mosaic kernel (fused_score_topk rejects it);
+it is reported as unsupported.
 
 For each mode, times the bench.py scan-carry workload and compares the
 top-k indices/scores against the host f32 oracle on a query sample. If
-HIGH reproduces the oracle ranking exactly on the workload, it is a safe
-~2x-throughput default for serving; HIGHEST stays the parity mode.
+DEFAULT reproduces the oracle ranking exactly on the workload, it is a
+safe ~6x-throughput default for serving; HIGHEST stays the parity mode.
 """
 
 import functools
@@ -40,6 +42,11 @@ def main():
     for name, prec in [("DEFAULT", jax.lax.Precision.DEFAULT),
                        ("HIGH", jax.lax.Precision.HIGH),
                        ("HIGHEST", jax.lax.Precision.HIGHEST)]:
+        if name == "HIGH":
+            print(json.dumps({"precision": name, "supported": False,
+                              "why": "Mosaic in-kernel dot does not "
+                                     "lower bf16x3"}), flush=True)
+            continue
         @functools.partial(jax.jit, static_argnames=("reps",))
         def run(qx, p, reps, prec=prec):
             def body(carry, _):

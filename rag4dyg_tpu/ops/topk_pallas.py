@@ -98,7 +98,15 @@ def fused_score_topk(queries: jnp.ndarray, pool_normed: jnp.ndarray, *,
     against normalized ``pool_normed`` [N, D] (N, D already padded to tile
     multiples; rows >= n_valid are padding). Returns ([B, k], [B, k]).
     ``normalize=True`` L2-normalizes the queries inside the same jit so a
-    call is one device dispatch."""
+    call is one device dispatch.
+
+    ``precision``: DEFAULT (one bf16 MXU pass) or HIGHEST (6-pass f32).
+    Mosaic's in-kernel dot lowering does not implement HIGH (bf16x3) —
+    rejected here with a clear error instead of a lowering crash."""
+    if precision == jax.lax.Precision.HIGH:
+        raise ValueError(
+            "fused_score_topk: Precision.HIGH is not lowerable inside a "
+            "Mosaic kernel; use DEFAULT (serving) or HIGHEST (parity)")
     if normalize:
         queries = queries / jnp.maximum(
             jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
