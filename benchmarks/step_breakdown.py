@@ -45,7 +45,8 @@ def _shrink_for_smoke():
     MASK_TOKEN = VOCAB - 1
 
 
-def bench(dtype: str, impl: str, s_small: int, s_big: int):
+def bench(dtype: str, impl: str, s_small: int, s_big: int,
+          remat: str = "full"):
     config = ModelConfig(vocab_size=VOCAB, n_layer=N_LAYER, n_head=N_HEAD,
                          n_embd=N_EMBD, dtype=dtype, attention_impl=impl,
                          eta=0.6, gamma=0.8)
@@ -56,7 +57,8 @@ def bench(dtype: str, impl: str, s_small: int, s_big: int):
 
     epoch_fn, _ = make_retriever_epoch_fn(
         model, optimizer, alpha=0.2, temperature=0.1, lambda_decay=1.0,
-        eta=0.6, gamma=0.8, mask_token=MASK_TOKEN, pad_id=PAD_ID)
+        eta=0.6, gamma=0.8, mask_token=MASK_TOKEN, pad_id=PAD_ID,
+        remat=remat)
 
     rng = np.random.RandomState(0)
     lens = rng.randint(L // 4, L, POOL)
@@ -87,9 +89,11 @@ def bench(dtype: str, impl: str, s_small: int, s_big: int):
 
     t_small, t_big = timed(s_small), timed(s_big)
     per_step = (t_big - t_small) / (s_big - s_small)
-    # 5 encoder passes (anchor/pos/neg + 2 augment views), remat backward
-    flops = lm_train_flops(N_LAYER, N_EMBD, 5 * B * L, L, remat=True)
-    return {"dtype": dtype, "attention_impl": impl,
+    # 5 encoder passes (anchor/pos/neg + 2 augment views); the full-remat
+    # mode pays one extra forward, dots/none recompute ~no matmuls
+    flops = lm_train_flops(N_LAYER, N_EMBD, 5 * B * L, L,
+                           remat=(remat == "full"))
+    return {"dtype": dtype, "attention_impl": impl, "remat": remat,
             "shape": {"B": B, "L": L, "layers": N_LAYER, "d": N_EMBD},
             "s_per_step": round(per_step, 4),
             "tflops": round(flops / per_step / 1e12, 1),
@@ -111,19 +115,35 @@ def main():
     _enable_compile_cache()
 
     results = []
-    for dtype in ("float32", "bfloat16"):
-        for impl in ("xla", "flash"):
-            r = bench(dtype, impl, args.steps, 2 * args.steps)
-            results.append(r)
-            print(json.dumps(r), flush=True)
-    by = {(r["dtype"], r["attention_impl"]): r["s_per_step"]
-          for r in results}
+    configs = [("float32", "xla", "full"), ("float32", "flash", "full"),
+               ("bfloat16", "xla", "full"), ("bfloat16", "flash", "full"),
+               # remat=dots: save MXU outputs, skip the remat forward
+               # (viable once flash removes the [L, L] buffers from HBM)
+               ("bfloat16", "flash", "dots"),
+               ("float32", "flash", "dots")]
+    for dtype, impl, remat in configs:
+        try:
+            r = bench(dtype, impl, args.steps, 2 * args.steps, remat=remat)
+        except Exception as e:  # e.g. OOM for a non-remat config at scale
+            r = {"dtype": dtype, "attention_impl": impl, "remat": remat,
+                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    by = {(r["dtype"], r["attention_impl"], r["remat"]): r["s_per_step"]
+          for r in results if "s_per_step" in r}
+
+    def ratio(a, b):
+        return round(by[a] / by[b], 2) if a in by and b in by else None
     print(json.dumps({
         "summary": "retriever train step (wikiv2 shape)",
-        "flash_speedup_f32": round(by[("float32", "xla")]
-                                   / by[("float32", "flash")], 2),
-        "flash_speedup_bf16": round(by[("bfloat16", "xla")]
-                                    / by[("bfloat16", "flash")], 2),
+        "flash_speedup_f32": ratio(("float32", "xla", "full"),
+                                   ("float32", "flash", "full")),
+        "flash_speedup_bf16": ratio(("bfloat16", "xla", "full"),
+                                    ("bfloat16", "flash", "full")),
+        "dots_speedup_bf16_flash": ratio(("bfloat16", "flash", "full"),
+                                         ("bfloat16", "flash", "dots")),
+        "total_vs_round1": ratio(("float32", "xla", "full"),
+                                 ("bfloat16", "flash", "dots")),
     }), flush=True)
 
 

@@ -151,6 +151,7 @@ def cmd_train_retriever(args):
                           seed=args.seed, dtype=args.dtype,
                           attention_impl=getattr(args, "attention_impl",
                                                  "xla") or "xla",
+                          remat=getattr(args, "remat", "full") or "full",
                           gen_out_dir=os.path.join(args.resources,
                                                    "retrieval_result"),
                           **_train_caps(args))
@@ -341,6 +342,7 @@ def cmd_pipeline(args):
         a.seed = args.seed
         a.dtype = args.dtype
         a.attention_impl = getattr(args, "attention_impl", "xla")
+        a.remat = getattr(args, "remat", "full")
         a.smoke = getattr(args, "smoke", False)
         a.node_features = getattr(args, "node_features", None)
         a.pool_mode = getattr(args, "pool_mode", None)
@@ -391,6 +393,12 @@ def main(argv=None):
                             help="no-cache attention path: XLA einsum or "
                                  "the fused Pallas flash kernel "
                                  "(ops/flash_attention.py)")
+            sp.add_argument("--remat", default="full",
+                            choices=["full", "dots", "none"],
+                            help="retriever encoder-pass remat: full "
+                                 "(min memory, +1 fwd), dots (save MXU "
+                                 "outputs, recompute elementwise only), "
+                                 "none")
             sp.add_argument("--backbone", default=None,
                             help="backbone checkpoint dir for transfer")
             sp.add_argument("--save-every", type=int, default=0,

@@ -25,6 +25,7 @@ the fixed pool padding.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
 import time
@@ -82,14 +83,51 @@ def mean_pool(h: jnp.ndarray, ids: jnp.ndarray, pad_id: int,
     return (h * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
 
 
+def _remat_decorator(remat: str):
+    """Encoder-pass rematerialization mode.
+
+    - "full": plain ``jax.checkpoint`` — store only pass inputs, recompute
+      the whole forward in the backward. Peak activation memory = ONE
+      pass, at the cost of one extra forward (~25% of step FLOPs). The
+      safe default at wikiv2/reddit scale with the XLA attention path
+      (whose [B, H, L, L] score buffers dominate HBM).
+    - "dots": ``checkpoint_dots`` policy — store every MXU (dot) output,
+      recompute only the cheap elementwise ops (LN, gelu, dropout masks)
+      in the backward. Eliminates the remat matmul FLOPs; viable once
+      ``attention_impl="flash"`` removes the score buffers from the saved
+      set (the pallas call is opaque to the policy, so attention itself
+      still recomputes — one fast fused pass).
+    - "none": store everything. Smallest compute, largest memory; only
+      for small shapes.
+
+    Numerics are identical across modes: saved values are the stored
+    originals and recomputed ops are deterministic (threefry dropout
+    re-draws from the same keys) — pinned by
+    tests/test_retriever_step.py.
+    """
+    if remat == "full":
+        return jax.checkpoint
+    if remat == "dots":
+        return functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.checkpoint_dots)
+    if remat == "none":
+        return lambda f: f
+    raise ValueError(f"unknown remat mode {remat!r} "
+                     "(expected full|dots|none)")
+
+
 def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
                               temperature: float, lambda_decay: float,
                               eta: float, gamma: float, mask_token: int,
-                              pad_id: int, pool_mode: str = "masked"):
+                              pad_id: int, pool_mode: str = "masked",
+                              remat: str = "full"):
     """The triple batch is gathered ON DEVICE from the resident padded
     pool — each step ships only [B, 3] indices + times to the device
     instead of three [B, L] token arrays (the host->device transfer was
     the wall-clock bottleneck through the remote tunnel)."""
+    ckpt = _remat_decorator(remat)
+
     @jax.jit
     def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng):
         anchor = jnp.take(pool_ids, idx[:, 0], axis=0)
@@ -105,7 +143,8 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
             # scan's backward is strictly sequential, so peak activation
             # memory is ONE pass's. Fresh dropout mask per pass (the
             # reference's five torch forwards each draw their own).
-            @jax.checkpoint
+            # Remat granularity is the `remat` mode (_remat_decorator).
+            @ckpt
             def encode(ids, pass_rng):
                 _, h, _ = model.apply({"params": p}, ids,
                                       deterministic=False,
@@ -148,7 +187,8 @@ def pad_to_length(examples, pad_id: int, length: int) -> np.ndarray:
 def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
                             temperature: float, lambda_decay: float,
                             eta: float, gamma: float, mask_token: int,
-                            pad_id: int, pool_mode: str = "masked"):
+                            pad_id: int, pool_mode: str = "masked",
+                            remat: str = "full"):
     """Whole-epoch ``lax.scan`` over the step batches: ONE device dispatch
     per epoch (plus one for any remainder batch) instead of one per step —
     through a ~30ms-latency remote tunnel this is the difference between
@@ -156,7 +196,8 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
     step = make_retriever_train_step(
         model, optimizer, alpha=alpha, temperature=temperature,
         lambda_decay=lambda_decay, eta=eta, gamma=gamma,
-        mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode)
+        mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode,
+        remat=remat)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs,
@@ -324,7 +365,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     query_times: Optional[np.ndarray] = None,
                     epochs: Optional[int] = None,
                     seed: Optional[int] = None, dtype: str = "float32",
-                    attention_impl: str = "xla",
+                    attention_impl: str = "xla", remat: str = "full",
                     eval_batch_size: int = 32, accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
@@ -391,7 +432,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         model, optimizer, alpha=rcfg.alpha, temperature=rcfg.temperature,
         lambda_decay=rcfg.lambda_decay, eta=rcfg.eta, gamma=rcfg.gamma,
         mask_token=len(tokenizer) - 1, pad_id=tokenizer.pad_id,
-        pool_mode=rcfg.pool_mode)
+        pool_mode=rcfg.pool_mode, remat=remat)
 
     gen_out_dir = gen_out_dir or os.path.join(out_dir, "retrieval_result")
 

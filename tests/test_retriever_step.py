@@ -81,3 +81,35 @@ def test_mean_pool_modes():
     padded = mean_pool(h, ids, 0, "padded")
     np.testing.assert_allclose(np.asarray(masked)[0], h[0, :2].mean(0))
     np.testing.assert_allclose(np.asarray(padded)[0], h[0].mean(0))
+
+
+def test_remat_modes_numerically_identical():
+    """full / dots / none remat must produce the same loss and the same
+    updated params (saved values are stored originals; recomputed ops are
+    deterministic, incl. threefry dropout re-draws from the same keys)."""
+    _, model, params, opt, pool, idx, times = _setup()
+    opt_state = opt.init(params)
+    outs = {}
+    for mode in ("full", "dots", "none"):
+        step = make_retriever_train_step(
+            model, opt, alpha=1.0, temperature=0.1, lambda_decay=0.1,
+            eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0, remat=mode)
+        new_p, _, loss, _, _ = step(params, opt_state, pool, idx,
+                                    times[:, 0], times[:, 1], times[:, 2],
+                                    jax.random.PRNGKey(3))
+        outs[mode] = (float(loss), new_p)
+    for mode in ("dots", "none"):
+        np.testing.assert_allclose(outs[mode][0], outs["full"][0],
+                                   rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+            outs[mode][1], outs["full"][1])
+
+
+def test_remat_mode_rejects_unknown():
+    import pytest
+    _, model, _, opt, *_ = _setup()
+    with pytest.raises(ValueError, match="remat"):
+        make_retriever_train_step(
+            model, opt, alpha=1.0, temperature=0.1, lambda_decay=0.1,
+            eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0, remat="bogus")
