@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9  # matches models/gpt2.py masking (finite: no NaN rows)
@@ -195,23 +196,117 @@ def _bwd_call(seed, q3, k3, v3, do3, *, scale: float, rate: float,
     )(seed, q3, k3, v3, do3)
 
 
+# --- GSPMD partitioning -----------------------------------------------------
+#
+# A pallas_call is an opaque custom call to the SPMD partitioner: under a
+# jax.sharding mesh, GSPMD would all-gather q/k/v and run the FULL batch
+# on every device (verified on an 8-device mesh — replicated compute, no
+# scaling). The kernel is embarrassingly parallel over its grid dim 0
+# (one (batch, head) cell per grid step), so custom_partitioning declares
+# dim 0 batchable and L/Dh replicated; each device then runs the kernel
+# on its local shard with NO collectives (pinned by
+# tests/test_flash_attention.py and tests/test_parallel.py).
+#
+# Dropout under sharding: pl.program_id(0) restarts at 0 on every device,
+# so identical (seed, cell) hash inputs would repeat the same mask across
+# shards. The partition lowering folds the device's linear index along
+# the dim-0 mesh axes into the seed — and the backward lowering derives
+# the same offset from the same arg shardings, so mask regeneration stays
+# exact per shard.
+
+
+def _dim0_axes(sharding) -> Tuple[str, ...]:
+    """Mesh axis names sharding dim 0 of an array (possibly several, e.g.
+    [B*H] sharded over ("data", "model")); () if replicated/unknown."""
+    spec = getattr(sharding, "spec", None)
+    if not spec:
+        return ()
+    d0 = spec[0]
+    if d0 is None:
+        return ()
+    return (d0,) if isinstance(d0, str) else tuple(d0)
+
+
+def _shard_seed(seed, mesh, axes, rate: float):
+    if rate <= 0.0 or not axes:
+        return seed
+    off = jnp.int32(0)
+    for name in axes:
+        off = off * jnp.int32(mesh.shape[name]) + jax.lax.axis_index(
+            name).astype(jnp.int32)
+    # golden-ratio odd-constant stride keeps per-shard streams disjoint
+    return seed + (off + jnp.int32(1)) * jnp.int32(-1640531527)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale: float, rate: float, interpret: bool):
+    @custom_partitioning
+    def f(seed, q3, k3, v3):
+        return _fwd_call(seed, q3, k3, v3, scale=scale, rate=rate,
+                         interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[1].sharding)
+
+        def lower_fn(seed, q3, k3, v3):
+            return _fwd_call(_shard_seed(seed, mesh, axes, rate), q3, k3,
+                             v3, scale=scale, rate=rate,
+                             interpret=interpret)
+        return (mesh, lower_fn, result_shape.sharding,
+                jax.tree.map(lambda x: x.sharding, tuple(arg_shapes)))
+
+    def infer(mesh, arg_shapes, shape):
+        return arg_shapes[1].sharding
+
+    f.def_partition(partition, infer_sharding_from_operands=infer,
+                    sharding_rule="s t, b l d, b l d, b l d -> b l d",
+                    need_replication_factors=("s", "t", "l", "d"))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(scale: float, rate: float, interpret: bool):
+    @custom_partitioning
+    def f(seed, q3, k3, v3, do3):
+        return _bwd_call(seed, q3, k3, v3, do3, scale=scale, rate=rate,
+                         interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[1].sharding)
+
+        def lower_fn(seed, q3, k3, v3, do3):
+            return _bwd_call(_shard_seed(seed, mesh, axes, rate), q3, k3,
+                             v3, do3, scale=scale, rate=rate,
+                             interpret=interpret)
+        return (mesh, lower_fn,
+                jax.tree.map(lambda x: x.sharding, tuple(result_shape)),
+                jax.tree.map(lambda x: x.sharding, tuple(arg_shapes)))
+
+    def infer(mesh, arg_shapes, shape):
+        return (arg_shapes[1].sharding,) * 3
+
+    f.def_partition(partition, infer_sharding_from_operands=infer,
+                    sharding_rule="s t, b l d, b l d, b l d, b l d -> "
+                                  "b l d, b l d, b l d",
+                    need_replication_factors=("s", "t", "l", "d"))
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash_core(q3, k3, v3, seed, scale: float, rate: float,
                 interpret: bool):
-    return _fwd_call(seed, q3, k3, v3, scale=scale, rate=rate,
-                     interpret=interpret)
+    return _partitioned_fwd(scale, rate, interpret)(seed, q3, k3, v3)
 
 
 def _flash_core_fwd(q3, k3, v3, seed, scale, rate, interpret):
-    out = _fwd_call(seed, q3, k3, v3, scale=scale, rate=rate,
-                    interpret=interpret)
+    out = _partitioned_fwd(scale, rate, interpret)(seed, q3, k3, v3)
     return out, (q3, k3, v3, seed)
 
 
 def _flash_core_bwd(scale, rate, interpret, res, g):
     q3, k3, v3, seed = res
-    dq, dk, dv = _bwd_call(seed, q3, k3, v3, g.astype(q3.dtype),
-                           scale=scale, rate=rate, interpret=interpret)
+    dq, dk, dv = _partitioned_bwd(scale, rate, interpret)(
+        seed, q3, k3, v3, g.astype(q3.dtype))
     # int32 seed's cotangent type is float0
     return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 

@@ -166,3 +166,105 @@ def test_model_flash_training_mode_runs_and_differs():
     assert np.any(np.asarray(l1) != np.asarray(l2))
     assert np.all(np.isfinite(np.asarray(l1)))
     assert np.any(np.asarray(l1) != np.asarray(l_det))
+
+
+# --- GSPMD partitioning ---------------------------------------------------
+
+def _mesh8():
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+
+
+def test_sharded_fwd_no_collectives():
+    """Batch-sharded flash must match the replicated result and lower
+    without any all-gather (custom_partitioning batch rule)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = _mesh8()
+    B, H, L, Dh = 16, 2, 128, 64
+    q, k, v = _qkv(7, B, H, L, Dh)
+    sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v),
+                in_shardings=(sh, sh, sh), out_shardings=sh)
+    args = tuple(jax.device_put(x, sh) for x in (q, k, v))
+    out = f(*args)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    txt = f.lower(*args).compile().as_text()
+    assert "all-gather" not in txt and "all-reduce" not in txt
+
+
+def test_sharded_grads_match_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = _mesh8()
+    B, H, L, Dh = 8, 2, 128, 64
+    q, k, v = _qkv(8, B, H, L, Dh)
+    sh = NamedSharding(mesh, P("data"))
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.tanh(flash_attention(q, k, v)))
+
+    g_sharded = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                        in_shardings=(sh, sh, sh))(
+        *[jax.device_put(x, sh) for x in (q, k, v)])
+    g_single = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_sharded, g_single):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_sharded_dropout_decorrelated_and_consistent():
+    """Each shard folds its mesh position into the dropout seed: the
+    sharded mask pattern must (a) differ from the naive replicated one
+    (no repeated masks across shards) and (b) stay fwd/bwd-consistent —
+    pinned by the chain rule check d(sum tanh(out))/dq matching a
+    finite-difference probe on the sharded function itself."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = _mesh8()
+    B, H, L, Dh = 8, 1, 128, 64  # one (b, h) cell per device
+    q, k, v = _qkv(9, B, H, L, Dh)
+    rate, seed = 0.4, 11
+    sh = NamedSharding(mesh, P("data"))
+    args = tuple(jax.device_put(x, sh) for x in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=seed),
+        in_shardings=(sh, sh, sh), out_shardings=sh)
+    out = np.asarray(f(*args))
+    # exact oracle: shard b (one (b, h) cell per device) computes with
+    # local pid=0 and seed offset (b+1) * -1640531527 (int32 wrap) —
+    # replicate the per-shard stream in numpy and match bit-for-bit
+    # within tolerance
+    def shard_seed(b):  # int32 wraparound, as the device computes it
+        return (seed + (b + 1) * (-1640531527)) % (1 << 32)
+
+    for b in range(B):
+        ref_b = _oracle_dropout_attention(q[b:b + 1], k[b:b + 1],
+                                          v[b:b + 1], shard_seed(b), rate)
+        np.testing.assert_allclose(out[b:b + 1], np.asarray(ref_b),
+                                   atol=2e-5, rtol=1e-5)
+    # shard masks are pairwise distinct (the naive per-device restart
+    # would repeat the pid=0 mask everywhere)
+    masks = [_keep_mask_oracle(shard_seed(b), 0, (L, L), rate)
+             for b in range(B)]
+    for b in range(1, B):
+        assert np.any(masks[0] != masks[b])
+    # deterministic under the same seed
+    np.testing.assert_array_equal(out, np.asarray(f(*args)))
+
+    # fwd/bwd mask consistency: grad of sum(out * w) equals the linear
+    # map's transpose applied through the SAME mask — probe via JVP vs
+    # grad agreement on a random direction
+    w = jnp.asarray(np.random.RandomState(3).randn(*out.shape)
+                    .astype(np.float32))
+    gfun = jax.jit(jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=seed) * w),
+        argnums=0), in_shardings=(sh, sh, sh))
+    g = gfun(*args)
+    dq = jnp.asarray(np.random.RandomState(4).randn(*q.shape)
+                     .astype(np.float32)) * 1e-3
+    f0 = float(jnp.sum(f(*args) * w))
+    f1 = float(jnp.sum(f(jax.device_put(q + dq, sh), args[1], args[2]) * w))
+    directional = float(jnp.sum(g * dq))
+    np.testing.assert_allclose(f1 - f0, directional, rtol=2e-2, atol=1e-5)

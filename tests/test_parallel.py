@@ -151,3 +151,53 @@ def test_sharded_retriever_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-4,
                                    err_msg=jax.tree_util.keystr(ka))
+
+
+def test_sharded_retriever_step_flash_matches_single_device():
+    """Same as above but with the Pallas flash-attention kernel in the
+    encoder: custom_partitioning shards the kernel over the batch without
+    collectives, so the sharded step must still reproduce the
+    single-device step. attn_pdrop=0 isolates partitioning (the kernel's
+    in-kernel dropout stream is deliberately shard-offset — covered by
+    tests/test_flash_attention.py); the threefry embd/resid dropouts stay
+    on and are position-invariant under GSPMD."""
+    from rag4dyg_tpu.parallel.mesh import make_sharded_retriever_step
+    from rag4dyg_tpu.train.retriever import make_retriever_train_step
+
+    cfg = ModelConfig(vocab_size=64, n_layer=2, n_head=4, n_embd=16,
+                      n_positions=32, attention_impl="flash",
+                      attn_pdrop=0.0)
+    model = GPT2LMModel(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    optimizer = make_optimizer(params,
+                               linear_warmup_linear_decay(1e-3, 0, 100))
+    hyper = dict(alpha=0.5, temperature=0.1, lambda_decay=0.01, eta=0.8,
+                 gamma=0.4, mask_token=63, pad_id=62)
+
+    rng_np = np.random.RandomState(2)
+    pool = jnp.asarray(rng_np.randint(0, 60, (32, 12)), jnp.int32)
+    idx = jnp.asarray(rng_np.randint(0, 32, (8, 3)), jnp.int32)
+    times = rng_np.rand(3, 8).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+
+    single = make_retriever_train_step(model, optimizer, **hyper)
+    opt_state = optimizer.init(params)
+    sp, _, loss_s, _, _ = single(params, opt_state, pool, idx,
+                                 jnp.asarray(times[0]), jnp.asarray(times[1]),
+                                 jnp.asarray(times[2]), rng)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    step, sh_params, sh_opt = make_sharded_retriever_step(
+        model, optimizer, mesh, params, **hyper)
+    mp, _, loss_m = step(sh_params, sh_opt, pool, idx,
+                         jnp.asarray(times[0]), jnp.asarray(times[1]),
+                         jnp.asarray(times[2]), rng)
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=2e-4)
+    key = lambda kv: jax.tree_util.keystr(kv[0])
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(sp), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(mp), key=key)):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
