@@ -114,7 +114,10 @@ def main():
     if args.synthetic_rows is None:
         args.synthetic_rows = 100_000 if args.mode == "chip" else 4096
     if args.synthetic_queries is None:
-        args.synthetic_queries = 8192 if args.mode == "chip" else 256
+        # 2048 x 100k u16 result ≈ 400 MB download through the ~3-6 MB/s
+        # relay (~2 min); 8192 queries made the download alone ~4x the
+        # whole benchmark budget
+        args.synthetic_queries = 2048 if args.mode == "chip" else 256
     if args.synthetic_vocab is None:
         args.synthetic_vocab = 65_536 if args.mode == "chip" else 4096
 
@@ -129,6 +132,12 @@ def main():
                "platform": jax.devices()[0].platform,
                "n_devices": len(jax.devices())}
 
+    def progress(key, value):
+        # stream each sub-result as it lands so a timeout preserves
+        # everything measured so far
+        results[key] = value
+        print(json.dumps({key: value}), flush=True)
+
     # real reddit pool shape
     if os.path.exists(REDDIT_RESOURCES) and not args.skip_reddit:
         from rag4dyg_tpu.data.serialize import read_corpus_lines
@@ -139,9 +148,9 @@ def main():
             os.path.join(REDDIT_RESOURCES, "train.link_prediction"))
         tok = Tokenizer.from_vocab_file(
             os.path.join(REDDIT_RESOURCES, "vocab.json"), timestep=11)
-        results["reddit_pool_rows"] = len(train)
-        results["reddit_topk_qps"] = round(
-            bench_topk(jax, len(train), mesh=mesh), 1)
+        progress("reddit_pool_rows", len(train))
+        progress("reddit_topk_qps", round(
+            bench_topk(jax, len(train), mesh=mesh), 1))
         _, out_sets = parse_inout_sets(train, train)
         from rag4dyg_tpu.pool.jaccard import jaccard_matrix, \
             reference_pairs_matrix
@@ -149,19 +158,20 @@ def main():
         t0 = time.perf_counter()
         mat = jaccard_matrix(out_sets, out_sets, tok.token_to_id, len(tok),
                              mesh=mesh)
-        results["reddit_jaccard_seconds"] = round(time.perf_counter() - t0, 2)
+        progress("reddit_jaccard_seconds",
+                 round(time.perf_counter() - t0, 2))
         ref = reference_pairs_matrix(out_sets[:64], out_sets[:64])
         assert np.array_equal(mat[:64, :64], ref)
 
     # synthetic north-star pool
-    results["synth_rows"] = args.synthetic_rows
-    results["synth_topk_qps"] = round(
-        bench_topk(jax, args.synthetic_rows, mesh=mesh), 1)
+    progress("synth_rows", args.synthetic_rows)
+    progress("synth_topk_qps", round(
+        bench_topk(jax, args.synthetic_rows, mesh=mesh), 1))
     if not args.skip_jaccard_synthetic:
-        results["synth_jaccard_queries"] = args.synthetic_queries
-        results["synth_jaccard_seconds"] = round(
+        progress("synth_jaccard_queries", args.synthetic_queries)
+        progress("synth_jaccard_seconds", round(
             bench_jaccard(jax, args.synthetic_queries, args.synthetic_rows,
-                          args.synthetic_vocab, mesh=mesh), 2)
+                          args.synthetic_vocab, mesh=mesh), 2))
     print(json.dumps(results))
 
 
