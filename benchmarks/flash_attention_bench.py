@@ -55,7 +55,7 @@ def xla_attention(q, k, v, key, rate):
     return jnp.einsum("bhqk,bhkd->bhqd", att, v)
 
 
-def build_run(impl: str, mode: str, dtype):
+def build_run(impl: str, mode: str):
     """reps-scanned runner; returns (jitted fn, carry validator)."""
     rate = RATE if mode == "train" else 0.0
     base_key = jax.random.PRNGKey(0)
@@ -96,7 +96,7 @@ def bench(impl: str, mode: str, dtype_name: str, reps: int):
     q, k, v = (jax.device_put(
         (rng.randn(B, H, L, DH) * 0.3).astype(np.float32).astype(dtype))
         for _ in range(3))
-    run = build_run(impl, mode, dtype)
+    run = build_run(impl, mode)
 
     def timed(r):
         jax.block_until_ready(run(q, k, v, r))  # compile + warm

@@ -40,7 +40,7 @@ CPU fallback/testing runs the same kernels under ``interpret=True``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,19 +59,26 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _keep_mask(seed, shape, rate: float):
+def _keep_mask(seed, cell, shape, rate: float):
     """Bernoulli(1-rate) keep mask from a counter-based hash.
 
     Pure-jnp VPU integer ops (runs identically under interpret mode on CPU
     — the pallas interpreter stubs ``pltpu.prng_random_bits`` to zeros, and
     cross-backend reproducibility is what makes the dropout path testable).
     Per element: lowbias32 (splitmix-style 32-bit finalizer, the standard
-    counter-input hash) over ``element_index ^ mix(seed, program_id)`` —
+    counter-input hash) over ``element_index ^ mix(seed, cell)`` —
     ~7 integer ops/element in VMEM vs threefry's ~100+ through HBM.
+
+    ``cell`` is the GLOBAL (batch, head) cell id, shipped per grid step as
+    a scalar operand rather than read from ``pl.program_id`` — program ids
+    restart at 0 on every device under GSPMD partitioning, so a pid-based
+    stream would repeat the same mask on every shard and could diverge
+    between a forward and a backward lowered with different shardings;
+    the global id makes the mask a pure function of (seed, cell,
+    position), bit-identical however the call is partitioned.
     """
-    pid = pl.program_id(0)
     h0 = (seed.astype(jnp.uint32) ^
-          ((pid + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
+          ((cell + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
     row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = row * jnp.uint32(shape[1]) + col + h0
@@ -99,11 +106,11 @@ def _softmax_fwd(q, k, scale: float, L: int):
     return e / jnp.sum(e, axis=1, keepdims=True)
 
 
-def _flash_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+def _flash_fwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, o_ref, *,
                       scale: float, rate: float, L: int):
     p = _softmax_fwd(q_ref[:], k_ref[:], scale, L)
     if rate > 0.0:
-        keep = _keep_mask(seed_ref[0, 0], p.shape, rate)
+        keep = _keep_mask(seed_ref[0, 0], cell_ref[0, 0], p.shape, rate)
         p = jnp.where(keep, p, 0.0) / (1.0 - rate)
     # probabilities are cast to the input dtype for the @v MXU pass —
     # identical numerics to the XLA path (softmax f32 -> astype(x.dtype)
@@ -114,14 +121,14 @@ def _flash_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _flash_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+def _flash_bwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, *,
                       scale: float, rate: float, L: int):
     q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
     p = _softmax_fwd(q, k, scale, L)                       # [L, L] f32
     if rate > 0.0:
         # identical hash inputs as forward -> identical mask
-        keep = _keep_mask(seed_ref[0, 0], p.shape, rate)
+        keep = _keep_mask(seed_ref[0, 0], cell_ref[0, 0], p.shape, rate)
         inv = 1.0 / (1.0 - rate)
         pd = jnp.where(keep, p, 0.0) * inv
     else:
@@ -154,7 +161,14 @@ def _tile_specs(n: int, L: int, D: int):
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 
-def _fwd_call(seed, q3, k3, v3, *, scale: float, rate: float,
+_SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
+# per-cell global (b, h) id: one scalar per grid step
+_CELL_SPEC = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                          memory_space=pltpu.SMEM)
+
+
+def _fwd_call(seed, cells, q3, k3, v3, *, scale: float, rate: float,
               interpret: bool):
     BH, L, D = q3.shape
     kernel = functools.partial(_flash_fwd_kernel, scale=scale, rate=rate,
@@ -162,9 +176,7 @@ def _fwd_call(seed, q3, k3, v3, *, scale: float, rate: float,
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)] + _tile_specs(
-            3, L, D),
+        in_specs=[_SEED_SPEC, _CELL_SPEC] + _tile_specs(3, L, D),
         out_specs=pl.BlockSpec((None, L, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
@@ -172,10 +184,10 @@ def _fwd_call(seed, q3, k3, v3, *, scale: float, rate: float,
             flops=4 * BH * L * L * D, transcendentals=BH * L * L,
             bytes_accessed=q3.dtype.itemsize * 4 * BH * L * D),
         interpret=interpret,
-    )(seed, q3, k3, v3)
+    )(seed, cells, q3, k3, v3)
 
 
-def _bwd_call(seed, q3, k3, v3, do3, *, scale: float, rate: float,
+def _bwd_call(seed, cells, q3, k3, v3, do3, *, scale: float, rate: float,
               interpret: bool):
     BH, L, D = q3.shape
     kernel = functools.partial(_flash_bwd_kernel, scale=scale, rate=rate,
@@ -184,16 +196,14 @@ def _bwd_call(seed, q3, k3, v3, do3, *, scale: float, rate: float,
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)] + _tile_specs(
-            4, L, D),
+        in_specs=[_SEED_SPEC, _CELL_SPEC] + _tile_specs(4, L, D),
         out_specs=_tile_specs(3, L, D),
         out_shape=[shp, shp, shp],
         cost_estimate=pl.CostEstimate(
             flops=10 * BH * L * L * D, transcendentals=BH * L * L,
             bytes_accessed=q3.dtype.itemsize * 7 * BH * L * D),
         interpret=interpret,
-    )(seed, q3, k3, v3, do3)
+    )(seed, cells, q3, k3, v3, do3)
 
 
 # --- GSPMD partitioning -----------------------------------------------------
@@ -207,108 +217,82 @@ def _bwd_call(seed, q3, k3, v3, do3, *, scale: float, rate: float,
 # on its local shard with NO collectives (pinned by
 # tests/test_flash_attention.py and tests/test_parallel.py).
 #
-# Dropout under sharding: pl.program_id(0) restarts at 0 on every device,
-# so identical (seed, cell) hash inputs would repeat the same mask across
-# shards. The partition lowering folds the device's linear index along
-# the dim-0 mesh axes into the seed — and the backward lowering derives
-# the same offset from the same arg shardings, so mask regeneration stays
-# exact per shard.
-
-
-def _dim0_axes(sharding) -> Tuple[str, ...]:
-    """Mesh axis names sharding dim 0 of an array (possibly several, e.g.
-    [B*H] sharded over ("data", "model")); () if replicated/unknown."""
-    spec = getattr(sharding, "spec", None)
-    if not spec:
-        return ()
-    d0 = spec[0]
-    if d0 is None:
-        return ()
-    return (d0,) if isinstance(d0, str) else tuple(d0)
-
-
-def _shard_seed(seed, mesh, axes, rate: float):
-    if rate <= 0.0 or not axes:
-        return seed
-    off = jnp.int32(0)
-    for name in axes:
-        off = off * jnp.int32(mesh.shape[name]) + jax.lax.axis_index(
-            name).astype(jnp.int32)
-    # golden-ratio odd-constant stride keeps per-shard streams disjoint
-    return seed + (off + jnp.int32(1)) * jnp.int32(-1640531527)
+# The dropout mask is a pure function of (seed, global cell id, position)
+# — the cell-id array shards along dim 0 with q/k/v, so fwd and bwd
+# regenerate identical masks under ANY partitioning (even asymmetric
+# fwd/bwd shardings), and the sharded result is bit-identical to the
+# single-device one.
 
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_fwd(scale: float, rate: float, interpret: bool):
     @custom_partitioning
-    def f(seed, q3, k3, v3):
-        return _fwd_call(seed, q3, k3, v3, scale=scale, rate=rate,
+    def f(seed, cells, q3, k3, v3):
+        return _fwd_call(seed, cells, q3, k3, v3, scale=scale, rate=rate,
                          interpret=interpret)
 
     def partition(mesh, arg_shapes, result_shape):
-        axes = _dim0_axes(arg_shapes[1].sharding)
-
-        def lower_fn(seed, q3, k3, v3):
-            return _fwd_call(_shard_seed(seed, mesh, axes, rate), q3, k3,
-                             v3, scale=scale, rate=rate,
-                             interpret=interpret)
+        def lower_fn(seed, cells, q3, k3, v3):
+            return _fwd_call(seed, cells, q3, k3, v3, scale=scale,
+                             rate=rate, interpret=interpret)
         return (mesh, lower_fn, result_shape.sharding,
                 jax.tree.map(lambda x: x.sharding, tuple(arg_shapes)))
 
     def infer(mesh, arg_shapes, shape):
-        return arg_shapes[1].sharding
+        return arg_shapes[2].sharding
 
     f.def_partition(partition, infer_sharding_from_operands=infer,
-                    sharding_rule="s t, b l d, b l d, b l d -> b l d",
-                    need_replication_factors=("s", "t", "l", "d"))
+                    sharding_rule="s t, b u, b l d, b l d, b l d -> "
+                                  "b l d",
+                    need_replication_factors=("s", "t", "u", "l", "d"))
     return f
 
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_bwd(scale: float, rate: float, interpret: bool):
     @custom_partitioning
-    def f(seed, q3, k3, v3, do3):
-        return _bwd_call(seed, q3, k3, v3, do3, scale=scale, rate=rate,
-                         interpret=interpret)
+    def f(seed, cells, q3, k3, v3, do3):
+        return _bwd_call(seed, cells, q3, k3, v3, do3, scale=scale,
+                         rate=rate, interpret=interpret)
 
     def partition(mesh, arg_shapes, result_shape):
-        axes = _dim0_axes(arg_shapes[1].sharding)
-
-        def lower_fn(seed, q3, k3, v3, do3):
-            return _bwd_call(_shard_seed(seed, mesh, axes, rate), q3, k3,
-                             v3, do3, scale=scale, rate=rate,
-                             interpret=interpret)
+        def lower_fn(seed, cells, q3, k3, v3, do3):
+            return _bwd_call(seed, cells, q3, k3, v3, do3, scale=scale,
+                             rate=rate, interpret=interpret)
         return (mesh, lower_fn,
                 jax.tree.map(lambda x: x.sharding, tuple(result_shape)),
                 jax.tree.map(lambda x: x.sharding, tuple(arg_shapes)))
 
     def infer(mesh, arg_shapes, shape):
-        return (arg_shapes[1].sharding,) * 3
+        return (arg_shapes[2].sharding,) * 3
 
     f.def_partition(partition, infer_sharding_from_operands=infer,
-                    sharding_rule="s t, b l d, b l d, b l d, b l d -> "
-                                  "b l d, b l d, b l d",
-                    need_replication_factors=("s", "t", "l", "d"))
+                    sharding_rule="s t, b u, b l d, b l d, b l d, b l d "
+                                  "-> b l d, b l d, b l d",
+                    need_replication_factors=("s", "t", "u", "l", "d"))
     return f
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_core(q3, k3, v3, seed, scale: float, rate: float,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_core(q3, k3, v3, seed, cells, scale: float, rate: float,
                 interpret: bool):
-    return _partitioned_fwd(scale, rate, interpret)(seed, q3, k3, v3)
+    return _partitioned_fwd(scale, rate, interpret)(seed, cells, q3, k3,
+                                                    v3)
 
 
-def _flash_core_fwd(q3, k3, v3, seed, scale, rate, interpret):
-    out = _partitioned_fwd(scale, rate, interpret)(seed, q3, k3, v3)
-    return out, (q3, k3, v3, seed)
+def _flash_core_fwd(q3, k3, v3, seed, cells, scale, rate, interpret):
+    out = _partitioned_fwd(scale, rate, interpret)(seed, cells, q3, k3,
+                                                   v3)
+    return out, (q3, k3, v3, seed, cells)
 
 
 def _flash_core_bwd(scale, rate, interpret, res, g):
-    q3, k3, v3, seed = res
+    q3, k3, v3, seed, cells = res
     dq, dk, dv = _partitioned_bwd(scale, rate, interpret)(
-        seed, q3, k3, v3, g.astype(q3.dtype))
-    # int32 seed's cotangent type is float0
-    return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
+        seed, cells, q3, k3, v3, g.astype(q3.dtype))
+    # int32 seed/cells cotangent type is float0
+    return (dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0),
+            np.zeros(cells.shape, dtype=jax.dtypes.float0))
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -349,8 +333,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     ).reshape(1, 1)
-    out = _flash_core(q3, k3, v3, seed, scale, float(dropout_rate),
-                      interpret)
+    cells = jnp.arange(B * H, dtype=jnp.int32).reshape(B * H, 1)
+    out = _flash_core(q3, k3, v3, seed, cells, scale,
+                      float(dropout_rate), interpret)
     out = out.reshape(B, H, Lp, Dp)
     if Lp != L or Dp != Dh:
         out = out[:, :, :L, :Dh]

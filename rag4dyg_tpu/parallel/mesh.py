@@ -137,7 +137,8 @@ def make_sharded_retriever_step(model, optimizer, mesh: Mesh,
                                 params: Dict[str, Any], *, alpha: float,
                                 temperature: float, lambda_decay: float,
                                 eta: float, gamma: float, mask_token: int,
-                                pad_id: int, pool_mode: str = "masked"):
+                                pad_id: int, pool_mode: str = "masked",
+                                remat: str = "full"):
     """Sharded twin of train.retriever.make_retriever_train_step.
 
     The triple batch is sharded over ``data``; the CLtime loss's
@@ -151,7 +152,9 @@ def make_sharded_retriever_step(model, optimizer, mesh: Mesh,
     """
     from rag4dyg_tpu.models.augment import augment_views
     from rag4dyg_tpu.train.losses import cltime_loss, info_nce_loss
-    from rag4dyg_tpu.train.retriever import mean_pool
+    from rag4dyg_tpu.train.retriever import _remat_decorator, mean_pool
+
+    ckpt = _remat_decorator(remat)
 
     specs = param_partition_specs(params)
     params = shard_params(params, mesh, specs)
@@ -170,7 +173,7 @@ def make_sharded_retriever_step(model, optimizer, mesh: Mesh,
         drop_rng, aug_rng = jax.random.split(rng)
 
         def loss_fn(p):
-            @jax.checkpoint
+            @ckpt
             def encode(ids, pass_rng):
                 _, h, _ = model.apply({"params": p}, ids,
                                       deterministic=False,

@@ -553,10 +553,12 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                             jnp.asarray(rngs[sl]), jnp.asarray(vl))
                         epoch_loss += float(loss_sum)
                     nb += int(vl.sum())
-                    # 5 rematerialized encoder passes per step at bucket b
+                    # 5 encoder passes per step at bucket b; the full-remat
+                    # mode pays one extra forward (dots/none do not)
                     epoch_flops += lm_train_flops(
                         rcfg.n_layer, rcfg.n_embd,
-                        float(vl.sum()) * B * b * 5, b, remat=True)
+                        float(vl.sum()) * B * b * 5, b,
+                        remat=(remat == "full"))
         rem = pairs[order[n_full * B:]].astype(np.int32)
         if len(rem) and not max_steps_per_epoch:  # drop_last=False tail
             b = int(line_bucket[rem].max())
