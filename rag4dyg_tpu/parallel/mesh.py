@@ -150,11 +150,7 @@ def make_sharded_retriever_step(model, optimizer, mesh: Mesh,
 
     Returns (step_fn, sharded_params, opt_state).
     """
-    from rag4dyg_tpu.models.augment import augment_views
-    from rag4dyg_tpu.train.losses import cltime_loss, info_nce_loss
-    from rag4dyg_tpu.train.retriever import _remat_decorator, mean_pool
-
-    ckpt = _remat_decorator(remat)
+    from rag4dyg_tpu.train.retriever import make_contrastive_loss_fn
 
     specs = param_partition_specs(params)
     params = shard_params(params, mesh, specs)
@@ -166,39 +162,22 @@ def make_sharded_retriever_step(model, optimizer, mesh: Mesh,
     row_spec = NamedSharding(mesh, P("data"))
     batch_cs = P(None, "data", None)  # stacked [5, B, L] passes
 
+    loss_body = make_contrastive_loss_fn(
+        model, alpha=alpha, temperature=temperature,
+        lambda_decay=lambda_decay, eta=eta, gamma=gamma,
+        mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode,
+        remat=remat,
+        constrain=lambda stacked: jax.lax.with_sharding_constraint(
+            stacked, NamedSharding(mesh, batch_cs)))
+
     def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng):
         anchor = jnp.take(pool_ids, idx[:, 0], axis=0)
         pos = jnp.take(pool_ids, idx[:, 1], axis=0)
         neg = jnp.take(pool_ids, idx[:, 2], axis=0)
-        drop_rng, aug_rng = jax.random.split(rng)
 
         def loss_fn(p):
-            @ckpt
-            def encode(ids, pass_rng):
-                _, h, _ = model.apply({"params": p}, ids,
-                                      deterministic=False,
-                                      rngs={"dropout": pass_rng},
-                                      compute_logits=False)
-                return mean_pool(h, ids, pad_id, pool_mode)
-
-            aug1, aug2 = augment_views(anchor, aug_rng, eta=eta,
-                                       gamma=gamma, mask_token=mask_token)
-            stacked = jax.lax.with_sharding_constraint(
-                jnp.stack([anchor, pos, neg, aug1, aug2]),
-                NamedSharding(mesh, batch_cs))
-            pass_rngs = jax.vmap(
-                lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(5))
-
-            def body(_, xs):
-                ids, r = xs
-                return None, encode(ids, r)
-            _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
-            h_a, h_p, h_n, z1, z2 = embs
-            cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
-                             temperature=temperature,
-                             decay_rate=lambda_decay)
-            aug = alpha * info_nce_loss(z1, z2, temperature)
-            return cl + aug
+            loss, _aux = loss_body(p, anchor, pos, neg, a_t, p_t, n_t, rng)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -117,6 +117,62 @@ def _remat_decorator(remat: str):
                      "(expected full|dots|none)")
 
 
+def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
+                             temperature: float, lambda_decay: float,
+                             eta: float, gamma: float, mask_token: int,
+                             pad_id: int, pool_mode: str, remat: str,
+                             constrain=None):
+    """The shared CLtime + α·info-NCE loss body used by both the
+    single-device step and the mesh-sharded step (parallel/mesh.py) —
+    one definition so remat modes, scan structure, and loss math can
+    never drift apart.
+
+    The five encoder passes are rematerialized per the `remat` mode AND
+    run through one lax.scan: checkpointing alone still let XLA overlap
+    the five backwards and hold several remat buffers at once (measured
+    16.7G > 15.75G HBM at wikiv2 scale, B=128 L=512 bf16); the scan's
+    backward is strictly sequential, so peak activation memory is ONE
+    pass's. Fresh dropout mask per pass (the reference's five torch
+    forwards each draw their own; train/train_retriever.py:177-195).
+
+    ``constrain``: optional fn applied to the stacked [5, B, L] passes —
+    the sharded step injects ``with_sharding_constraint`` here.
+    """
+    ckpt = _remat_decorator(remat)
+
+    def loss_fn(p, anchor, pos, neg, a_t, p_t, n_t, rng):
+        drop_rng, aug_rng = jax.random.split(rng)
+
+        @ckpt
+        def encode(ids, pass_rng):
+            _, h, _ = model.apply({"params": p}, ids,
+                                  deterministic=False,
+                                  rngs={"dropout": pass_rng},
+                                  compute_logits=False)
+            return mean_pool(h, ids, pad_id, pool_mode)
+
+        aug1, aug2 = augment_views(anchor, aug_rng, eta=eta, gamma=gamma,
+                                   mask_token=mask_token)
+        stacked = jnp.stack([anchor, pos, neg, aug1, aug2])   # [5, B, L]
+        if constrain is not None:
+            stacked = constrain(stacked)
+        pass_rngs = jax.vmap(
+            lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(5))
+
+        def body(_, xs):
+            ids, r = xs
+            return None, encode(ids, r)
+        _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
+        h_a, h_p, h_n, z1, z2 = embs
+        cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
+                         temperature=temperature,
+                         decay_rate=lambda_decay)
+        aug = alpha * info_nce_loss(z1, z2, temperature)
+        return cl + aug, (cl, aug)
+
+    return loss_fn
+
+
 def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
                               temperature: float, lambda_decay: float,
                               eta: float, gamma: float, mask_token: int,
@@ -126,48 +182,20 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
     pool — each step ships only [B, 3] indices + times to the device
     instead of three [B, L] token arrays (the host->device transfer was
     the wall-clock bottleneck through the remote tunnel)."""
-    ckpt = _remat_decorator(remat)
+    loss_body = make_contrastive_loss_fn(
+        model, alpha=alpha, temperature=temperature,
+        lambda_decay=lambda_decay, eta=eta, gamma=gamma,
+        mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode,
+        remat=remat)
 
     @jax.jit
     def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng):
         anchor = jnp.take(pool_ids, idx[:, 0], axis=0)
         pos = jnp.take(pool_ids, idx[:, 1], axis=0)
         neg = jnp.take(pool_ids, idx[:, 2], axis=0)
-        drop_rng, aug_rng = jax.random.split(rng)
 
         def loss_fn(p):
-            # remat each encoder pass AND run the five passes through one
-            # lax.scan: checkpointing alone still let XLA overlap the five
-            # backwards and hold several remat buffers at once (measured
-            # 16.7G > 15.75G HBM at wikiv2 scale, B=128 L=512 bf16); the
-            # scan's backward is strictly sequential, so peak activation
-            # memory is ONE pass's. Fresh dropout mask per pass (the
-            # reference's five torch forwards each draw their own).
-            # Remat granularity is the `remat` mode (_remat_decorator).
-            @ckpt
-            def encode(ids, pass_rng):
-                _, h, _ = model.apply({"params": p}, ids,
-                                      deterministic=False,
-                                      rngs={"dropout": pass_rng},
-                                      compute_logits=False)
-                return mean_pool(h, ids, pad_id, pool_mode)
-
-            aug1, aug2 = augment_views(anchor, aug_rng, eta=eta, gamma=gamma,
-                                       mask_token=mask_token)
-            stacked = jnp.stack([anchor, pos, neg, aug1, aug2])   # [5, B, L]
-            pass_rngs = jax.vmap(
-                lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(5))
-
-            def body(_, xs):
-                ids, r = xs
-                return None, encode(ids, r)
-            _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
-            h_a, h_p, h_n, z1, z2 = embs
-            cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
-                             temperature=temperature,
-                             decay_rate=lambda_decay)
-            aug = alpha * info_nce_loss(z1, z2, temperature)
-            return cl + aug, (cl, aug)
+            return loss_body(p, anchor, pos, neg, a_t, p_t, n_t, rng)
 
         (loss, (cl, aug)), grads = jax.value_and_grad(loss_fn,
                                                       has_aux=True)(params)
