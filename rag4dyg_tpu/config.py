@@ -44,6 +44,14 @@ class ModelConfig:
     # — VMEM-resident tile, hash-based in-kernel dropout). The KV-cache
     # decode path always uses the XLA form. Requires L <= 1024.
     attention_impl: str = "xla"
+    # Untied LM head: a separate trainable [V, D] projection instead of the
+    # weight-tied wte einsum. The reference generator has this *by accident*:
+    # load_and_freeze_params (reference utils/model.py:71-78) replaces
+    # model.transformer wholesale, which silently breaks HF weight tying —
+    # lm_head.weight stays the original random-init tensor, its name lacks
+    # 'transformer' so it is never frozen, and the generator retrains the
+    # whole output head from scratch. Quirk-parity for the generator stage.
+    untied_lm_head: bool = False
     # contrastive-augmentation hyperparameters carried on the config like the
     # reference does (reference: utils/tokenizer.py:24-26)
     eta: float = 0.8
@@ -105,12 +113,17 @@ class GeneratorConfig:
     gnn_dropout: float = 0.2
     fusion_pad_len: int = 512     # MLP-fusion demo concat length
     learning_rate: float = 1e-3
-    weight_decay: float = 0.0
+    weight_decay: float = 1e-5  # reference args_parser_generator.py:162 default
     batch_size: int = 32
     epochs: int = 50
     patience: int = 15
     warmup_epochs: int = 0
     freeze_backbone: bool = True
+    # The reference's broken-tie quirk (see ModelConfig.untied_lm_head): the
+    # committed --freeze pipeline always trains a from-scratch output head on
+    # top of the frozen transformer. This — not the fusion token — is where
+    # most of its generator-vs-backbone gain comes from.
+    untied_lm_head: bool = True
     seed: int = 42
 
 

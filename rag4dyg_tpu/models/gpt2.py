@@ -233,7 +233,17 @@ class GPT2LMModel(nn.Module):
         # einsum is ~half the forward FLOPs, all discarded
         logits = None
         if compute_logits:
-            logits = jnp.einsum("bld,vd->blv", h, wte.astype(h.dtype),
+            # the generator stage uses an untied trainable head — the
+            # reference's broken-weight-tying quirk (utils/model.py:71-78
+            # replaces model.transformer, leaving lm_head.weight the original
+            # random tensor, unfrozen); init matches HF _init_weights
+            # normal(initializer_range)
+            head = wte
+            if cfg.untied_lm_head:
+                head = self.param(
+                    "lm_head", nn.initializers.normal(cfg.initializer_range),
+                    (cfg.vocab_size, cfg.n_embd), jnp.float32)
+            logits = jnp.einsum("bld,vd->blv", h, head.astype(h.dtype),
                                 preferred_element_type=jnp.float32)
         if cache is not None:
             new_cache["index"] = cache["index"] + L

@@ -73,7 +73,11 @@ def params_to_torch_state_dict(params: Dict, n_layer: int,
         _get(params, "ln_f/scale").copy())
     sd["transformer.ln_f.bias"] = torch.from_numpy(
         _get(params, "ln_f/bias").copy())
-    sd["lm_head.weight"] = sd["transformer.wte.weight"]
+    if "lm_head" in params:  # untied-head generator quirk (config.py)
+        sd["lm_head.weight"] = torch.from_numpy(_get(params,
+                                                     "lm_head").copy())
+    else:
+        sd["lm_head.weight"] = sd["transformer.wte.weight"]
     return sd
 
 
@@ -134,7 +138,21 @@ def export_reference_checkpoint(ckpt_dir: str, out_dir: str,
 
 
 def import_reference_checkpoint(ref_dir: str):
-    """Load a reference-format checkpoint dir into (params, ModelConfig)."""
+    """Load a reference-format checkpoint dir into (params, ModelConfig).
+
+    Generator checkpoints saved by the reference's main_generator.py carry
+    two extra head groups beyond the GPT-2 tree, both mapped here so a
+    reference-trained RAG generator can be evaluated in this framework:
+
+    - ``lm_head.weight`` [V, D]: the untied output head (the reference's
+      broken-weight-tying quirk, utils/model.py:71-78 — see
+      ModelConfig.untied_lm_head). Imported, and only then, when it is not
+      the identical tensor as ``transformer.wte.weight``.
+    - ``gnn_fusion.convs.N.{weight,bias}`` / ``mlp_fusion...`` linears
+      (models/modeling_rag.py:44-99): GCNConv/Linear weights stored
+      [in, out] — the same orientation as our fusion kernels, no
+      transpose. Single layer keeps the flat {kernel, bias} tree.
+    """
     import torch
 
     from rag4dyg_tpu.config import ModelConfig
@@ -143,6 +161,32 @@ def import_reference_checkpoint(ref_dir: str):
         rc = json.load(f)
     sd = torch.load(os.path.join(ref_dir, "pytorch_model.bin"),
                     map_location="cpu", weights_only=False)
+    tree = torch_state_dict_to_params(sd, rc["n_layer"])
+
+    untied = False
+    if "lm_head.weight" in sd and "transformer.wte.weight" in sd:
+        head = sd["lm_head.weight"].detach().cpu().numpy()
+        if not np.array_equal(head, tree["wte"]):
+            tree["lm_head"] = np.asarray(head)
+            untied = True
+
+    fusion_keys = sorted(k for k in sd
+                         if ".weight" in k
+                         and ("gnn_fusion" in k or "mlp_fusion" in k))
+    if fusion_keys:
+        kernels = [np.asarray(sd[k].detach().cpu().numpy())
+                   for k in fusion_keys]
+        biases = [np.asarray(
+            sd[k.replace(".weight", ".bias")].detach().cpu().numpy())
+            for k in fusion_keys]
+        if len(kernels) == 1:
+            tree["fusion"] = {"kernel": kernels[0], "bias": biases[0]}
+        else:
+            tree["fusion"] = {}
+            for i, (kk, bb) in enumerate(zip(kernels, biases)):
+                tree["fusion"][f"kernel_{i}"] = kk
+                tree["fusion"][f"bias_{i}"] = bb
+
     cfg = ModelConfig(
         vocab_size=rc["vocab_size"], n_layer=rc["n_layer"],
         n_head=rc["n_head"], n_embd=rc["n_embd"],
@@ -152,5 +196,6 @@ def import_reference_checkpoint(ref_dir: str):
         attn_pdrop=rc.get("attn_pdrop", 0.1),
         layer_norm_epsilon=rc.get("layer_norm_epsilon", 1e-5),
         initializer_range=rc.get("initializer_range", 0.02),
+        untied_lm_head=untied,
     )
-    return torch_state_dict_to_params(sd, cfg.n_layer), cfg
+    return tree, cfg

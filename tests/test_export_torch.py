@@ -88,3 +88,54 @@ def test_reference_model_logits_parity(tmp_path):
                                     jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(ours_logits), ref_logits,
                                atol=2e-4, rtol=1e-4)
+
+
+def test_import_generator_heads(tmp_path):
+    """A reference generator checkpoint (broken-tie untied lm_head +
+    gnn_fusion GCNConv — main_generator.py save path) imports with both
+    heads mapped into our tree, bit-equal and correctly oriented."""
+    import jax
+    import json
+
+    cfg = _small_config()
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    sd = params_to_torch_state_dict(params, cfg.n_layer, n_ctx=64)
+    rng = np.random.RandomState(3)
+    head = rng.randn(cfg.vocab_size, cfg.n_embd).astype(np.float32)
+    kern = rng.randn(cfg.n_embd, cfg.n_embd).astype(np.float32)
+    bias = rng.randn(cfg.n_embd).astype(np.float32)
+    sd["lm_head.weight"] = torch.from_numpy(head)
+    sd["gnn_fusion.convs.0.weight"] = torch.from_numpy(kern)
+    sd["gnn_fusion.convs.0.bias"] = torch.from_numpy(bias)
+
+    ref_dir = tmp_path / "refgen"
+    ref_dir.mkdir()
+    torch.save(sd, str(ref_dir / "pytorch_model.bin"))
+    (ref_dir / "config.json").write_text(json.dumps(
+        {"vocab_size": cfg.vocab_size, "n_layer": cfg.n_layer,
+         "n_head": cfg.n_head, "n_embd": cfg.n_embd, "n_positions": 64}))
+
+    tree, re_cfg = import_reference_checkpoint(str(ref_dir))
+    assert re_cfg.untied_lm_head
+    assert np.array_equal(tree["lm_head"], head)
+    assert np.array_equal(tree["fusion"]["kernel"], kern)
+    assert np.array_equal(tree["fusion"]["bias"], bias)
+
+    # tied checkpoint (lm_head is the wte tensor) imports with no lm_head
+    sd2 = params_to_torch_state_dict(params, cfg.n_layer, n_ctx=64)
+    tied_dir = tmp_path / "reftied"
+    tied_dir.mkdir()
+    torch.save(sd2, str(tied_dir / "pytorch_model.bin"))
+    (tied_dir / "config.json").write_text(
+        (ref_dir / "config.json").read_text())
+    tree2, cfg2 = import_reference_checkpoint(str(tied_dir))
+    assert "lm_head" not in tree2 and not cfg2.untied_lm_head
+
+    # two stacked layers map to kernel_0/kernel_1
+    sd["gnn_fusion.convs.1.weight"] = torch.from_numpy(kern.T.copy())
+    sd["gnn_fusion.convs.1.bias"] = torch.from_numpy(bias * 2)
+    torch.save(sd, str(ref_dir / "pytorch_model.bin"))
+    tree3, _ = import_reference_checkpoint(str(ref_dir))
+    assert np.array_equal(tree3["fusion"]["kernel_0"], kern)
+    assert np.array_equal(tree3["fusion"]["kernel_1"], kern.T)
+    assert np.array_equal(tree3["fusion"]["bias_1"], bias * 2)
