@@ -258,3 +258,31 @@ def splice_labels(labels: jnp.ndarray, m: int,
     fused inputs (reference: train/train_generator.py:95-98)."""
     pad = jnp.full((labels.shape[0], m), ignore_index, labels.dtype)
     return jnp.concatenate([labels[:, :2], pad, labels[:, 2:]], axis=1)
+
+
+def batch_window_labels(spliced_labels: jnp.ndarray, batch: jnp.ndarray,
+                        pad_id: int, m: int,
+                        ignore_index: int = -100) -> jnp.ndarray:
+    """Reference label-window parity for statically padded batches.
+
+    The reference pads each generator batch only to its LONGEST row
+    (dataloader/generator.py:118-119 ``pad_sequence``) and counts every
+    position — pad labels of shorter rows included — in the mean CE
+    (train/train_generator.py:79,100-102: labels = raw inputs, only the
+    m fused slots are -100). Our batches are statically padded to the
+    resident-pool width (hundreds of extra [PAD] columns), so without
+    this mask ~94% of the counted positions are trivial pad→pad
+    predictions. That is not just a cosmetic loss-scale change: with a
+    frozen backbone, pad-position losses backprop into the trainable
+    fusion head (pad positions attend to the fused tokens) and the
+    untied lm_head, drowning the real-token signal the reference
+    trains on. Masking spliced labels at positions >= max_row_len + m
+    makes the counted-position set bit-identical to the reference's.
+
+    ``batch`` is the un-spliced [B, L] token batch; rows contain
+    ``pad_id`` only in their right-pad tail (the tokenizer never emits
+    [PAD] inside a line).
+    """
+    window = (batch != pad_id).sum(axis=1).max() + m
+    j = jnp.arange(spliced_labels.shape[1])
+    return jnp.where(j[None, :] < window, spliced_labels, ignore_index)

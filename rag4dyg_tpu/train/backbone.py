@@ -298,13 +298,19 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     config=model.config,
                     meta={"epoch": epoch, "stage": "backbone", "seed": seed})
 
-    val_metrics = generation_eval(model, best_params, tokenizer, val_lines,
+    # final evals retry over a longer horizon than the in-epoch wrapper —
+    # a relay outage measured at ~25 min must not lose a finished run
+    val_metrics = retry_transient(generation_eval, model, best_params,
+                                  tokenizer, val_lines,
                                   val_gt, node_vocab, "val",
-                                  batch_size=eval_batch_size)
-    test_metrics = generation_eval(model, best_params, tokenizer, test_lines,
+                                  batch_size=eval_batch_size,
+                                  attempts=8, backoff_s=120.0)
+    test_metrics = retry_transient(generation_eval, model, best_params,
+                                   tokenizer, test_lines,
                                    test_gt, node_vocab, "test",
                                    batch_size=eval_batch_size,
-                                   collect_generations=True)
+                                   collect_generations=True,
+                                   attempts=8, backoff_s=120.0)
     generations = test_metrics.pop("generations", {})
     # per-query generation dump for manual inspection
     # (reference: utils/Evaluation_SimpleDyG.py:208-209)

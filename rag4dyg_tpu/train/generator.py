@@ -7,9 +7,16 @@ ranking at eval time) are compressed into ``m`` fused embedding tokens —
 via a 1-layer GCN over the union of demonstration star graphs
 ("graphpooling") or an MLP over the concatenated demo embeddings — spliced
 into the input after position 2, and the model is trained with the shifted
-CE loss over labels widened with ``m`` ignore slots. The backbone is frozen
-(only the fusion head trains; the LM head is weight-tied to the frozen
-``wte``) when ``freeze_backbone`` is set, matching the committed scripts.
+CE loss over labels widened with ``m`` ignore slots. With
+``freeze_backbone`` (the committed scripts' mode) the transformer is
+frozen and TWO heads train: the fusion head and — matching the
+reference's broken-weight-tying quirk (utils/model.py:71-78 replaces
+``model.transformer`` wholesale, so ``lm_head.weight`` stays the original
+random tensor and escapes the name-based freeze) — a from-scratch untied
+LM head. The quirk is where most of the reference generator's
+beyond-backbone gain comes from (its 50-epoch UCI run climbs from val
+NDCG@5 0.06 to 0.193 > backbone 0.187); set
+``GeneratorConfig.untied_lm_head=False`` for the tied-head variant.
 
 TPU-first deltas: the reference builds a networkx graph per sample per
 step on the host and round-trips it through torch_geometric
@@ -39,6 +46,7 @@ from rag4dyg_tpu.data.vocab import Tokenizer, pad_batch
 from rag4dyg_tpu.eval.evaluate import generation_eval
 from rag4dyg_tpu.models import GPT2LMModel, init_params
 from rag4dyg_tpu.models.fusion import (
+    batch_window_labels,
     mlp_fusion_pool,
     mlp_fusion_pool_multilayer,
     splice_labels,
@@ -207,18 +215,26 @@ def splice_prefill(wte: jnp.ndarray, ids: jnp.ndarray,
 
 def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
                               m: int, gnn_dropout: float = 0.2,
-                              freeze: bool = False):
+                              freeze: bool = False,
+                              pad_id: Optional[int] = None):
     """``freeze=True`` stop-gradients every non-fusion param inside the
     loss so XLA never builds their weight-gradient einsums (~1/3 of the
     backward FLOPs); the optimizer's multi_transform freeze then sees
-    symbolic zeros instead of computed-and-discarded gradients."""
+    symbolic zeros instead of computed-and-discarded gradients.
+
+    ``pad_id`` enables reference label-window parity (the reference pads
+    per batch, not to the static pool width — see
+    models/fusion.py:batch_window_labels); trainers always pass it."""
     @jax.jit
     def step(params, opt_state, batch, demo_ids, demo_valid, rng):
         rng, fusion_rng = jax.random.split(rng)
 
         def loss_fn(p):
             if freeze:
-                p = {k: (v if k == "fusion" else jax.lax.stop_gradient(v))
+                # lm_head (untied-head quirk, config.py ModelConfig) trains
+                # alongside the fusion head; everything else is frozen
+                p = {k: (v if k in ("fusion", "lm_head")
+                         else jax.lax.stop_gradient(v))
                      for k, v in p.items()}
             wte = p["wte"]
             fused = fused_embedding(p, fusion, wte, demo_ids, demo_valid,
@@ -233,6 +249,8 @@ def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
                 inputs_embeds=embeds, deterministic=False,
                 rngs={"dropout": rng})
             labels = splice_labels(batch, m)
+            if pad_id is not None:
+                labels = batch_window_labels(labels, batch, pad_id, m)
             return shift_ce_loss(logits, labels)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -242,7 +260,8 @@ def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
 
 
 def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
-                            gnn_dropout: float = 0.2, freeze: bool = False):
+                            gnn_dropout: float = 0.2, freeze: bool = False,
+                            pad_id: Optional[int] = None):
     """Whole-epoch ``lax.scan`` for graphpooling fusion: query rows AND
     demonstrations are gathered on device from the resident pool, so each
     epoch ships only [S, B] row indices + [S, B, K] demo indices (one
@@ -250,7 +269,8 @@ def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
     as the retriever's epoch scan)."""
     step = make_generator_train_step(model, optimizer,
                                      fusion="graphpooling", m=m,
-                                     gnn_dropout=gnn_dropout, freeze=freeze)
+                                     gnn_dropout=gnn_dropout, freeze=freeze,
+                                     pad_id=pad_id)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, pool_valid, rows_all, topk_all,
@@ -274,7 +294,8 @@ def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
     return epoch, step
 
 
-def make_generator_eval_loss(model: GPT2LMModel, *, fusion: str, m: int):
+def make_generator_eval_loss(model: GPT2LMModel, *, fusion: str, m: int,
+                             pad_id: Optional[int] = None):
     """Fusion-augmented validation LM loss (reference:
     train/train_generator.py:269-313 — deterministic forward, labels =
     inputs with m ignore slots spliced, mean of per-batch mean CE; the
@@ -298,7 +319,10 @@ def make_generator_eval_loss(model: GPT2LMModel, *, fusion: str, m: int):
             logits, _, _ = model.apply({"params": backbone},
                                        inputs_embeds=embeds,
                                        deterministic=True)
-            return None, shift_ce_loss(logits, splice_labels(batch, m))
+            labels = splice_labels(batch, m)
+            if pad_id is not None:
+                labels = batch_window_labels(labels, batch, pad_id, m)
+            return None, shift_ce_loss(logits, labels)
         _, losses = jax.lax.scan(
             body, None, (batches, demo_ids_all, demo_valid_all))
         return losses.mean()
@@ -396,7 +420,8 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
     config = ModelConfig(vocab_size=len(tokenizer), n_layer=spec.n_layer,
                          n_head=spec.n_head, n_embd=spec.n_embd, dtype=dtype,
-                         attention_impl=attention_impl)
+                         attention_impl=attention_impl,
+                         untied_lm_head=gcfg.untied_lm_head)
     model = GPT2LMModel(config)
     rng, init_rng, fusion_rng = jax.random.split(rng, 3)
     params = init_params(config, init_rng)
@@ -417,11 +442,14 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         max(1, steps_per_epoch // accumulate_steps))
     frozen_labels = None
     if gcfg.freeze_backbone and backbone_ckpt is not None:
-        # only the fusion head trains (reference: utils/model.py:71-78 +
-        # tied lm_head on the frozen wte)
+        # the fusion head trains, plus the untied lm_head when enabled
+        # (reference: utils/model.py:71-78 freezes by the name substring
+        # 'transformer' — lm_head escapes and retrains from random init)
+        trainable = {"fusion"} | ({"lm_head"} if gcfg.untied_lm_head
+                                  else set())
         frozen_labels = {
             k: jax.tree.map(
-                lambda _: "trainable" if k == "fusion" else "frozen", v)
+                lambda _, k=k: "trainable" if k in trainable else "frozen", v)
             for k, v in params.items()}
     optimizer = make_optimizer(params, schedule,
                                weight_decay=gcfg.weight_decay,
@@ -431,14 +459,14 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     if gcfg.fusion == "graphpooling":
         epoch_fn, train_step = make_generator_epoch_fn(
             model, optimizer, m=gcfg.m, gnn_dropout=gcfg.gnn_dropout,
-            freeze=frozen_labels is not None)
+            freeze=frozen_labels is not None, pad_id=tokenizer.pad_id)
         topk_table = np.asarray([r[: gcfg.top_k] for r in train_index],
                                 np.int32)
     else:
         epoch_fn = None
         train_step = make_generator_train_step(
             model, optimizer, fusion=gcfg.fusion, m=gcfg.m,
-            freeze=frozen_labels is not None)
+            freeze=frozen_labels is not None, pad_id=tokenizer.pad_id)
 
     node_vocab = tokenizer.node_vocab
     fusion_pad = gcfg.fusion_pad_len
@@ -482,7 +510,8 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             vd_ids = jnp.asarray(cat.reshape(n_vb, vB, -1))
             vd_valid = jnp.zeros((n_vb, vB, 1), bool)
         eval_loss_fn = make_generator_eval_loss(model, fusion=gcfg.fusion,
-                                                m=gcfg.m)
+                                                m=gcfg.m,
+                                                pad_id=tokenizer.pad_id)
 
     best_score, best_params, best_epoch, counter = None, params, -1, 0
     start = time.time()
@@ -573,11 +602,18 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     save_checkpoint(os.path.join(out_dir, "checkpoint-last"), params,
                     config=config, meta={"stage": "generator", "seed": seed})
 
-    val_metrics = evaluate(best_params, "val")
-    test_metrics = evaluate(best_params, "test")
+    # final evals retry over a longer horizon than the in-epoch wrapper:
+    # losing a multi-hour run's last dispatch to a relay outage measured
+    # at ~25 min is worse than waiting one out (checkpoints are already
+    # saved above either way)
+    val_metrics = retry_transient(evaluate, best_params, "val",
+                                  attempts=8, backoff_s=120.0)
+    test_metrics = retry_transient(evaluate, best_params, "test",
+                                   attempts=8, backoff_s=120.0)
     # the reference's final pass tests checkpoint-last alongside best
     # (reference: train/train_generator.py:253-266)
-    last_test = evaluate(params, "test")
+    last_test = retry_transient(evaluate, params, "test",
+                                attempts=8, backoff_s=120.0)
     append_result_row(os.path.join(out_dir, "results.csv"),
                       {"stage": "generator", "dataset": spec.name,
                        "seed": seed, "fusion": gcfg.fusion,

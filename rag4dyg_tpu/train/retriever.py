@@ -646,11 +646,19 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     save_checkpoint(os.path.join(out_dir, "checkpoint-last"), last_params,
                     config=config, meta={"stage": "retriever", "seed": seed})
 
-    test_metrics = evaluate(best_params, "test", write_best=True)
-    val_metrics = evaluate(best_params, "val", write_best=True)
+    # final evals retry over a longer horizon than the in-epoch wrapper —
+    # a relay outage measured at ~25 min must not lose a finished run
+    test_metrics = retry_transient(evaluate, best_params, "test",
+                                   write_best=True,
+                                   attempts=8, backoff_s=120.0)
+    val_metrics = retry_transient(evaluate, best_params, "val",
+                                  write_best=True,
+                                  attempts=8, backoff_s=120.0)
     # the reference's final pass tests checkpoint-last alongside best
     # (reference: train/train_retriever.py:338-352)
-    last_test = evaluate(last_params, "test", write_best=False)
+    last_test = retry_transient(evaluate, last_params, "test",
+                                write_best=False,
+                                attempts=8, backoff_s=120.0)
     append_result_row(os.path.join(out_dir, "results.csv"),
                       {"stage": "retriever", "dataset": spec.name,
                        "seed": seed, "best_epoch": best_epoch,

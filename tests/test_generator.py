@@ -239,3 +239,100 @@ def test_generator_freeze_stop_gradient_equivalent():
     assert abs(outs[False][0] - outs[True][0]) < 1e-6
     np.testing.assert_allclose(outs[False][1], outs[True][1],
                                atol=1e-6, rtol=1e-6)
+
+
+def test_generator_untied_lm_head_trains():
+    """The reference's broken-weight-tying quirk (utils/model.py:71-78
+    replaces model.transformer, leaving lm_head.weight an unfrozen random
+    tensor): with untied_lm_head, one frozen-backbone step must train BOTH
+    lm_head and fusion, leave wte untouched, and start from a
+    random-head loss near ln(V)."""
+    import math
+
+    cfg = ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                      n_positions=64, untied_lm_head=True)
+    model = GPT2LMModel(cfg)
+    params = dict(init_params(cfg, jax.random.PRNGKey(0)))
+    assert params["lm_head"].shape == (32, 8)
+    params["fusion"] = init_fusion_params(jax.random.PRNGKey(1), cfg,
+                                          "graphpooling", m=1)
+    trainable = {"fusion", "lm_head"}
+    frozen_labels = {
+        k: jax.tree.map(
+            lambda _, k=k: "trainable" if k in trainable else "frozen", v)
+        for k, v in params.items()}
+    optimizer = make_optimizer(params,
+                               linear_warmup_linear_decay(1e-2, 0, 10),
+                               frozen_labels=frozen_labels)
+    opt_state = optimizer.init(params)
+    step = make_generator_train_step(model, optimizer, fusion="graphpooling",
+                                     m=1, freeze=True)
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.randint(0, 32, (2, 8)), jnp.int32)
+    demo_ids = jnp.asarray(rng.randint(0, 32, (2, 3, 5)), jnp.int32)
+    demo_valid = jnp.ones((2, 3, 5), bool)
+
+    new_params, _, loss = step(params, opt_state, batch, demo_ids,
+                               demo_valid, jax.random.PRNGKey(2))
+    # random untied head -> near-uniform predictions
+    assert abs(float(loss) - math.log(32)) < 0.2
+    assert not np.allclose(np.asarray(new_params["lm_head"]),
+                           np.asarray(params["lm_head"]))
+    assert not np.allclose(np.asarray(new_params["fusion"]["kernel"]),
+                           np.asarray(params["fusion"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(new_params["wte"]),
+                                  np.asarray(params["wte"]))
+    # tied config has no lm_head param and identical wte init
+    tied = init_params(
+        ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                    n_positions=64), jax.random.PRNGKey(0))
+    assert "lm_head" not in tied
+    np.testing.assert_array_equal(np.asarray(tied["wte"]),
+                                  np.asarray(params["wte"]))
+
+
+def test_batch_window_labels_matches_reference_loss():
+    """Our batches are statically padded to the pool width; the reference
+    pads per batch (dataloader/generator.py:118-119) and counts every
+    position of that window in mean CE, pad labels included
+    (train/train_generator.py:79,100-102). batch_window_labels must make
+    our counted-position set bit-identical: same loss as a torch
+    transliteration computing CE on the pad_sequence-width batch."""
+    import torch
+
+    from rag4dyg_tpu.models.fusion import batch_window_labels, splice_labels
+    from rag4dyg_tpu.train.losses import shift_ce_loss
+
+    V, PAD, m, L = 23, 3, 2, 40
+    rng = np.random.RandomState(0)
+    lens = [7, 19, 11]
+    batch = np.full((len(lens), L), PAD, np.int32)
+    for i, n in enumerate(lens):
+        row = rng.randint(0, V, n)
+        row[row == PAD] = PAD + 1  # pad only in the tail
+        batch[i, :n] = row
+    logits = rng.randn(len(lens), L + m, V).astype(np.float32)
+
+    ours = splice_labels(jnp.asarray(batch), m)
+    ours = batch_window_labels(ours, jnp.asarray(batch), PAD, m)
+    loss = float(shift_ce_loss(jnp.asarray(logits), ours))
+
+    # reference: rows padded to max(lens); m ignore slots after position 2;
+    # CrossEntropyLoss (default mean over non-ignored) on the shift
+    Lmax = max(lens)
+    ref_labels = np.full((len(lens), Lmax), PAD, np.int64)
+    for i, n in enumerate(lens):
+        ref_labels[i, :n] = batch[i, :n]
+    ref_labels = np.concatenate(
+        [ref_labels[:, :2], np.full((len(lens), m), -100, np.int64),
+         ref_labels[:, 2:]], axis=1)
+    ref_logits = torch.from_numpy(logits[:, : Lmax + m])
+    sl = ref_logits[:, :-1].reshape(-1, V)
+    st = torch.from_numpy(ref_labels)[:, 1:].reshape(-1)
+    ref = float(torch.nn.CrossEntropyLoss()(sl, st))
+    assert abs(loss - ref) < 1e-6
+
+    # and without the window, the statically padded loss differs (dilution)
+    undiluted = float(shift_ce_loss(jnp.asarray(logits),
+                                    splice_labels(jnp.asarray(batch), m)))
+    assert abs(undiluted - ref) > 1e-3

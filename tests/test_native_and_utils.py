@@ -154,3 +154,33 @@ def test_profiling_flops_and_timer():
             pass
     s = t.summary()
     assert s["steps"] == 3 and s["p50_ms"] >= 0.0 and s["total_s"] >= 0.0
+
+
+def test_retry_transient_kwargs_and_filtering():
+    """retry_transient must pass **kwargs through to fn (the final-eval
+    call sites pass write_best=...), retry only transient-marked errors,
+    and re-raise genuine ones immediately."""
+    from rag4dyg_tpu.utils.retry import retry_transient
+
+    calls = []
+
+    def flaky(a, *, write_best=False):
+        calls.append((a, write_best))
+        if len(calls) < 3:
+            raise RuntimeError("UNAVAILABLE: relay hiccup")
+        return a + (1 if write_best else 0)
+
+    out = retry_transient(flaky, 41, write_best=True,
+                          attempts=4, backoff_s=0.0)
+    assert out == 42
+    assert calls == [(41, True)] * 3
+
+    def broken():
+        raise ValueError("shape mismatch")
+
+    try:
+        retry_transient(broken, attempts=4, backoff_s=0.0)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("non-transient error must re-raise")
