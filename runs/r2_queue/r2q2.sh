@@ -44,4 +44,8 @@ run reddit-generator python -m rag4dyg_tpu.cli train-generator --dataset reddit 
     --backbone runs/reddit/backbone_r2/checkpoint-best \
     > $LOG/reddit_generator.json 2> $LOG/reddit_generator.log
 
+# Full test suite in the serialized queue slot (forces CPU itself;
+# ~20 min — never concurrent with a chip job per CLAUDE.md).
+run pytest python -m pytest tests/ -q > $LOG/pytest.log 2>&1
+
 echo "CHUNK2 DONE $(date -u)"
