@@ -222,7 +222,13 @@ def cmd_eval(args):
             load_index_file,
             make_prefill_factory,
         )
-        gcfg = spec.generator
+        # prefer the fusion hyperparameters the checkpoint was trained
+        # with (saved in meta.json) over the registry defaults — a
+        # checkpoint trained with e.g. --top-k 3 must not be fed 10 demos
+        from rag4dyg_tpu.config import GeneratorConfig
+        from rag4dyg_tpu.utils.checkpoint import load_meta
+        saved = load_meta(args.checkpoint).get("generator_config")
+        gcfg = GeneratorConfig(**saved) if saved else spec.generator
         train_lines = read_corpus_lines(
             os.path.join(args.resources, "train.link_prediction"))
         store = DemoStore(tok.encode_batch(train_lines,
@@ -346,6 +352,12 @@ def cmd_pipeline(args):
         a.smoke = getattr(args, "smoke", False)
         a.node_features = getattr(args, "node_features", None)
         a.pool_mode = getattr(args, "pool_mode", None)
+        # forward every train/spec override the pipeline parser accepts —
+        # _spec/_train_caps read these via getattr, so dropping one here
+        # silently reverts it to the registry default
+        for k in ("accumulate_steps", "fusion", "gnn_layers", "mlp_layers",
+                  "gnn_dropout", "top_k"):
+            setattr(a, k, getattr(args, k, None))
         for k, v in extra.items():
             setattr(a, k, v)
         fn(a)

@@ -110,7 +110,11 @@ def _flash_fwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, o_ref, *,
                       scale: float, rate: float, L: int):
     p = _softmax_fwd(q_ref[:], k_ref[:], scale, L)
     if rate > 0.0:
-        keep = _keep_mask(seed_ref[0, 0], cell_ref[0, 0], p.shape, rate)
+        # cell_ref holds the whole [BH, 1] id array (Mosaic rejects
+        # sub-(8,128) SMEM blocks unless block dims == array dims);
+        # pick this grid step's global (b, h) id dynamically
+        keep = _keep_mask(seed_ref[0, 0], cell_ref[pl.program_id(0), 0],
+                          p.shape, rate)
         p = jnp.where(keep, p, 0.0) / (1.0 - rate)
     # probabilities are cast to the input dtype for the @v MXU pass —
     # identical numerics to the XLA path (softmax f32 -> astype(x.dtype)
@@ -128,7 +132,8 @@ def _flash_bwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, do_ref,
     p = _softmax_fwd(q, k, scale, L)                       # [L, L] f32
     if rate > 0.0:
         # identical hash inputs as forward -> identical mask
-        keep = _keep_mask(seed_ref[0, 0], cell_ref[0, 0], p.shape, rate)
+        keep = _keep_mask(seed_ref[0, 0], cell_ref[pl.program_id(0), 0],
+                          p.shape, rate)
         inv = 1.0 / (1.0 - rate)
         pd = jnp.where(keep, p, 0.0) * inv
     else:
@@ -163,9 +168,16 @@ def _tile_specs(n: int, L: int, D: int):
 
 _SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0),
                           memory_space=pltpu.SMEM)
-# per-cell global (b, h) id: one scalar per grid step
-_CELL_SPEC = pl.BlockSpec((1, 1), lambda i: (i, 0),
-                          memory_space=pltpu.SMEM)
+
+
+def _cell_spec(bh: int):
+    """Global (b, h) id array, whole-array SMEM block. Mosaic's TPU
+    lowering requires block dims divisible by (8, 128) or EQUAL to the
+    array dims — a per-step (1, 1) block over [BH, 1] is rejected on
+    real hardware (though CPU interpret mode accepts it), so every grid
+    step maps the full [BH, 1] array and indexes it by pl.program_id."""
+    return pl.BlockSpec((bh, 1), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
 
 
 def _fwd_call(seed, cells, q3, k3, v3, *, scale: float, rate: float,
@@ -176,7 +188,7 @@ def _fwd_call(seed, cells, q3, k3, v3, *, scale: float, rate: float,
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[_SEED_SPEC, _CELL_SPEC] + _tile_specs(3, L, D),
+        in_specs=[_SEED_SPEC, _cell_spec(BH)] + _tile_specs(3, L, D),
         out_specs=pl.BlockSpec((None, L, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
@@ -196,7 +208,7 @@ def _bwd_call(seed, cells, q3, k3, v3, do3, *, scale: float, rate: float,
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[_SEED_SPEC, _CELL_SPEC] + _tile_specs(4, L, D),
+        in_specs=[_SEED_SPEC, _cell_spec(BH)] + _tile_specs(4, L, D),
         out_specs=_tile_specs(3, L, D),
         out_shape=[shp, shp, shp],
         cost_estimate=pl.CostEstimate(

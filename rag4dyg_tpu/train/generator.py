@@ -589,7 +589,9 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 save_checkpoint(os.path.join(out_dir, "checkpoint-best"),
                                 best_params, config=config,
                                 meta={"epoch": epoch, "val_ndcg5": score,
-                                      "stage": "generator", "seed": seed})
+                                      "stage": "generator", "seed": seed,
+                                      "generator_config":
+                                          dataclasses.asdict(gcfg)})
             else:
                 counter += 1
                 if counter >= gcfg.patience:
@@ -600,7 +602,9 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     if best_epoch < 0:
         best_params, best_epoch = params, epochs - 1
     save_checkpoint(os.path.join(out_dir, "checkpoint-last"), params,
-                    config=config, meta={"stage": "generator", "seed": seed})
+                    config=config,
+                    meta={"stage": "generator", "seed": seed,
+                          "generator_config": dataclasses.asdict(gcfg)})
 
     # final evals retry over a longer horizon than the in-epoch wrapper:
     # losing a multi-hour run's last dispatch to a relay outage measured

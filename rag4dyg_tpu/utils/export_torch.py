@@ -149,10 +149,20 @@ def import_reference_checkpoint(ref_dir: str):
       ModelConfig.untied_lm_head). Imported, and only then, when it is not
       the identical tensor as ``transformer.wte.weight``.
     - ``gnn_fusion.convs.N.{weight,bias}`` / ``mlp_fusion...`` linears
-      (models/modeling_rag.py:44-99): GCNConv/Linear weights stored
-      [in, out] — the same orientation as our fusion kernels, no
-      transpose. Single layer keeps the flat {kernel, bias} tree.
+      (models/modeling_rag.py:44-99). Layer order is numeric (convs.10
+      after convs.2), and weight orientation is auto-detected: our fusion
+      kernels are x@W with W [in, out]; old-PyG GCNConv stores [in, out]
+      while torch.nn.Linear and PyG>=2 ``lin.weight`` store [out, in].
+      Orientation is chosen by chaining the whole stack from the known
+      input dim (n_embd for gnn, 512 for mlp — utils/model.py:133) and
+      transposing all layers iff the as-is orientation does not chain
+      (an all-square stack chains both ways and is taken as-is — that
+      matches every shipped reference config, where the first GCN layer
+      n_embd -> n_embd/2 is non-square). Single layer keeps the flat
+      {kernel, bias} tree.
     """
+    import re
+
     import torch
 
     from rag4dyg_tpu.config import ModelConfig
@@ -170,15 +180,47 @@ def import_reference_checkpoint(ref_dir: str):
             tree["lm_head"] = np.asarray(head)
             untied = True
 
-    fusion_keys = sorted(k for k in sd
-                         if ".weight" in k
-                         and ("gnn_fusion" in k or "mlp_fusion" in k))
+    def _layer_idx(k):
+        m = re.search(r"\.(\d+)\.", k)
+        return int(m.group(1)) if m else -1
+
+    fusion_keys = sorted(
+        (k for k in sd if k.endswith(".weight")
+         and ("gnn_fusion" in k or "mlp_fusion" in k)),
+        key=lambda k: (_layer_idx(k), k))
     if fusion_keys:
         kernels = [np.asarray(sd[k].detach().cpu().numpy())
                    for k in fusion_keys]
-        biases = [np.asarray(
-            sd[k.replace(".weight", ".bias")].detach().cpu().numpy())
-            for k in fusion_keys]
+        in_dim = (rc["n_embd"] if "gnn_fusion" in fusion_keys[0]
+                  else 512)  # MLP fusion pad length, utils/model.py:133
+
+        def _chains(ws):
+            cur = in_dim
+            for w in ws:
+                if w.ndim != 2 or w.shape[0] != cur:
+                    return False
+                cur = w.shape[1]
+            return True
+
+        if not _chains(kernels):
+            flipped = [w.T for w in kernels]
+            if not _chains(flipped):
+                raise ValueError(
+                    f"fusion weights {[w.shape for w in kernels]} do not "
+                    f"chain from input dim {in_dim} in either orientation")
+            kernels = flipped
+
+        biases = []
+        for k, w in zip(fusion_keys, kernels):
+            bk = k.replace(".weight", ".bias")
+            if bk not in sd:  # PyG>=2: convs.N.lin.weight, bias at convs.N
+                bk = bk.replace(".lin.", ".")
+            b = (np.asarray(sd[bk].detach().cpu().numpy()) if bk in sd
+                 else np.zeros(w.shape[1], w.dtype))
+            if b.shape != (w.shape[1],):
+                raise ValueError(f"{bk}: bias {b.shape} does not match "
+                                 f"kernel out dim {w.shape[1]}")
+            biases.append(b)
         if len(kernels) == 1:
             tree["fusion"] = {"kernel": kernels[0], "bias": biases[0]}
         else:

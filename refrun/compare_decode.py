@@ -62,10 +62,12 @@ def main():
     mismatches = 0
     for row, ((qid, v), ref) in enumerate(zip(picked, refs)):
         ours = tokens[row, : lengths[row]].tolist()
-        # the reference stream may exceed our cap window; compare prefix
+        # the reference stream may exceed our cap window (max_steps AND
+        # the per-query context cap); compare prefix, and only require
+        # equal lengths when the reference stream fit inside our cap
         m = min(len(ours), len(ref))
-        ok = ours[:m] == ref[:m] and abs(len(ours) - len(ref)) <= (
-            0 if len(ref) <= max_steps else len(ref) - max_steps)
+        ok = ours[:m] == ref[:m] and (len(ours) == len(ref)
+                                      or len(ours) == caps[row])
         status = "OK " if ok else "FAIL"
         if not ok:
             mismatches += 1

@@ -1,11 +1,11 @@
 #!/bin/bash
-# Round-2 chunk 3: generator seed sweeps (reference sweep set: seeds
-# 42,0..8 — scripts/train_generator/train_rag_graphpooling_*_seed.sh),
-# with the round-2 quirk-parity generator. Reuses the chunk-1/2
-# backbone_r2 checkpoints and committed/regenerated retrieval results.
-# Order: dialog -> hepth -> wikiv2 -> UCI (UCI last: a committed round-1
-# 10-seed sweep already exists; sweep_results.csv streams per-seed, so a
-# sweep cut off by round end still leaves usable partial CSVs).
+# Round-2 chunk 3: FIRST repair the wikiv2/reddit retriever+generator
+# chains (chunk 2's flash retrievers crashed on the chip: the cell-id
+# SMEM block spec was illegal under the real Mosaic lowering — fixed in
+# ops/flash_attention.py, validated by a canary below), THEN the
+# generator seed sweeps (reference sweep set: seeds 42,0..8).
+# sweep_results.csv streams per-seed, so a sweep cut off by round end
+# still leaves usable partial CSVs.
 set -x
 cd /root/repo
 LOG=/tmp/r2q3
@@ -14,6 +14,46 @@ SEEDS=42,0,1,2,3,4,5,6,7,8
 
 run() { echo "=== $(date -u +%H:%M:%S) $1 ==="; shift; "$@"; echo "rc=$?"; }
 
+# --- chip canary for the flash-kernel fix: fwd+bwd with dropout at a
+# tiny shape on the REAL backend (interpret-mode tests cannot catch
+# Mosaic lowering rejections). Falls back to XLA attention if it fails.
+python - > $LOG/flash_canary.log 2>&1 <<'EOF'
+import jax, jax.numpy as jnp, numpy as np
+from rag4dyg_tpu.ops.flash_attention import flash_attention
+x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 128, 64), jnp.float32)
+def loss(q):
+    return flash_attention(q, x, x, dropout_rate=0.1,
+                           dropout_seed=7).sum()
+v, g = jax.jit(jax.value_and_grad(loss))(x)
+assert np.isfinite(float(v)) and np.isfinite(float(g.sum()))
+print("flash canary OK", float(v))
+EOF
+if [ $? -eq 0 ]; then FLASH="--attention-impl flash"; else FLASH=""; fi
+echo "flash flag: '$FLASH'"
+
+# --- repair: wikiv2 retriever (6 epochs; long-run best epoch was 4)
+run wikiv2-retriever python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2 \
+    --backbone runs/wikiv2/backbone_r2/checkpoint-best \
+    --epochs 6 --dtype bfloat16 $FLASH \
+    > $LOG/wikiv2_retriever.json 2> $LOG/wikiv2_retriever.log
+run wikiv2-generator python -m rag4dyg_tpu.cli train-generator --dataset wikiv2 \
+    --resources runs/wikiv2/resources --out runs/wikiv2/generator_r2 \
+    --backbone runs/wikiv2/backbone_r2/checkpoint-best \
+    > $LOG/wikiv2_generator.json 2> $LOG/wikiv2_generator.log
+
+# --- repair: reddit retriever + generator
+run reddit-retriever python -m rag4dyg_tpu.cli train-retriever --dataset reddit \
+    --resources runs/reddit/resources --out runs/reddit/retriever_r2 \
+    --backbone runs/reddit/backbone_r2/checkpoint-best \
+    --epochs 6 --dtype bfloat16 $FLASH \
+    > $LOG/reddit_retriever.json 2> $LOG/reddit_retriever.log
+run reddit-generator python -m rag4dyg_tpu.cli train-generator --dataset reddit \
+    --resources runs/reddit/resources --out runs/reddit/generator_r2 \
+    --backbone runs/reddit/backbone_r2/checkpoint-best \
+    > $LOG/reddit_generator.json 2> $LOG/reddit_generator.log
+
+# --- generator seed sweeps
 run dialog-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
     --dataset dialog --seeds $SEEDS \
     --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \

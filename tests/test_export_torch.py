@@ -139,3 +139,76 @@ def test_import_generator_heads(tmp_path):
     assert np.array_equal(tree3["fusion"]["kernel_0"], kern)
     assert np.array_equal(tree3["fusion"]["kernel_1"], kern.T)
     assert np.array_equal(tree3["fusion"]["bias_1"], bias * 2)
+
+
+def test_import_fusion_orientation_and_ordering(tmp_path):
+    """Importer handles the REAL reference module layouts, not just the
+    refrun stub: torch.nn.Linear / PyG>=2 weights stored [out, in] are
+    transposed to our x@W [in, out] kernels (detected by chaining the
+    stack from the known input dim), >=10 layers order numerically
+    (convs.10 after convs.2), and PyG>=2 ``convs.N.lin.weight`` keys
+    find their conv-level bias."""
+    import jax
+    import json
+
+    def save_ckpt(name, extra):
+        cfg = _small_config()
+        params = init_params(cfg, jax.random.PRNGKey(4))
+        sd = params_to_torch_state_dict(params, cfg.n_layer, n_ctx=64)
+        for k, v in extra.items():
+            sd[k] = torch.from_numpy(v)
+        d = tmp_path / name
+        d.mkdir()
+        torch.save(sd, str(d / "pytorch_model.bin"))
+        (d / "config.json").write_text(json.dumps(
+            {"vocab_size": cfg.vocab_size, "n_layer": cfg.n_layer,
+             "n_head": cfg.n_head, "n_embd": cfg.n_embd,
+             "n_positions": 64}))
+        return str(d)
+
+    rng = np.random.RandomState(7)
+
+    # (a) nn.Linear-style MLP fusion: weights [out, in], 512 -> 64 -> 3
+    w0 = rng.randn(64, 512).astype(np.float32)   # torch Linear [out, in]
+    w1 = rng.randn(3, 64).astype(np.float32)
+    b0 = rng.randn(64).astype(np.float32)
+    b1 = rng.randn(3).astype(np.float32)
+    d = save_ckpt("linear_mlp", {
+        "mlp_fusion.linears.0.weight": w0, "mlp_fusion.linears.0.bias": b0,
+        "mlp_fusion.linears.1.weight": w1, "mlp_fusion.linears.1.bias": b1})
+    tree, _ = import_reference_checkpoint(d)
+    assert np.array_equal(tree["fusion"]["kernel_0"], w0.T)
+    assert np.array_equal(tree["fusion"]["kernel_1"], w1.T)
+    assert np.array_equal(tree["fusion"]["bias_0"], b0)
+
+    # (b) 11-layer stack orders numerically: lexicographic order would
+    # put layer 10 between 1 and 2 and break the dim chain
+    dims = [512] + [8 + i for i in range(11)]
+    extra = {}
+    ws = []
+    for i in range(11):
+        w = rng.randn(dims[i], dims[i + 1]).astype(np.float32)
+        ws.append(w)
+        extra[f"mlp_fusion.linears.{i}.weight"] = w
+        extra[f"mlp_fusion.linears.{i}.bias"] = (
+            rng.randn(dims[i + 1]).astype(np.float32))
+    d = save_ckpt("deep_mlp", extra)
+    tree, _ = import_reference_checkpoint(d)
+    for i, w in enumerate(ws):
+        assert np.array_equal(tree["fusion"][f"kernel_{i}"], w), i
+
+    # (c) PyG>=2 GCNConv: convs.N.lin.weight [out, in], bias at convs.N;
+    # first layer n_embd -> n_embd//2 is non-square -> orientation detected
+    cfg = _small_config()
+    g0 = rng.randn(cfg.n_embd // 2, cfg.n_embd).astype(np.float32)
+    g1 = rng.randn(cfg.n_embd, cfg.n_embd // 2).astype(np.float32)
+    gb0 = rng.randn(cfg.n_embd // 2).astype(np.float32)
+    gb1 = rng.randn(cfg.n_embd).astype(np.float32)
+    d = save_ckpt("pyg2_gnn", {
+        "gnn_fusion.convs.0.lin.weight": g0, "gnn_fusion.convs.0.bias": gb0,
+        "gnn_fusion.convs.1.lin.weight": g1, "gnn_fusion.convs.1.bias": gb1})
+    tree, _ = import_reference_checkpoint(d)
+    assert np.array_equal(tree["fusion"]["kernel_0"], g0.T)
+    assert np.array_equal(tree["fusion"]["kernel_1"], g1.T)
+    assert np.array_equal(tree["fusion"]["bias_0"], gb0)
+    assert np.array_equal(tree["fusion"]["bias_1"], gb1)

@@ -59,6 +59,26 @@ def test_checkpoint_rotation(tmp_path):
     assert os.path.isdir(os.path.join(d, "checkpoint-best"))
 
 
+def test_generator_config_round_trips_through_checkpoint_meta(tmp_path):
+    """Generator checkpoints persist their fusion hyperparameters in
+    meta.json (cmd_eval prefers them over the registry so a checkpoint
+    trained with e.g. --top-k 3 is never evaluated with 10 demos)."""
+    import dataclasses
+
+    from rag4dyg_tpu.config import GeneratorConfig
+    from rag4dyg_tpu.utils.checkpoint import load_meta, save_checkpoint
+
+    gcfg = GeneratorConfig(fusion="mlp", top_k=3, m=2, mlp_layers=2,
+                           gnn_dropout=0.1)
+    d = str(tmp_path / "checkpoint-best")
+    save_checkpoint(d, {"w": np.zeros(2, np.float32)},
+                    meta={"stage": "generator",
+                          "generator_config": dataclasses.asdict(gcfg)})
+    saved = load_meta(d).get("generator_config")
+    assert saved is not None
+    assert GeneratorConfig(**saved) == gcfg  # cmd_eval's reconstruction
+
+
 def test_result_csv_and_aggregation(tmp_path):
     csv_path = str(tmp_path / "results.csv")
     append_result_row(csv_path, {"seed": 1, "test_ndcg": 0.5})
