@@ -42,16 +42,9 @@ run wikiv2-generator python -m rag4dyg_tpu.cli train-generator --dataset wikiv2 
     --backbone runs/wikiv2/backbone_r2/checkpoint-best \
     > $LOG/wikiv2_generator.json 2> $LOG/wikiv2_generator.log
 
-# --- repair: reddit retriever + generator
-run reddit-retriever python -m rag4dyg_tpu.cli train-retriever --dataset reddit \
-    --resources runs/reddit/resources --out runs/reddit/retriever_r2 \
-    --backbone runs/reddit/backbone_r2/checkpoint-best \
-    --epochs 6 --dtype bfloat16 $FLASH \
-    > $LOG/reddit_retriever.json 2> $LOG/reddit_retriever.log
-run reddit-generator python -m rag4dyg_tpu.cli train-generator --dataset reddit \
-    --resources runs/reddit/resources --out runs/reddit/generator_r2 \
-    --backbone runs/reddit/backbone_r2/checkpoint-best \
-    > $LOG/reddit_generator.json 2> $LOG/reddit_generator.log
+# (reddit repair dropped: chunk 2's reddit retriever picked up the
+# fixed kernel from the working tree and trained on-chip; its
+# generator step follows inside chunk 2.)
 
 # --- generator seed sweeps
 run dialog-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
