@@ -46,26 +46,38 @@ run wikiv2-generator python -m rag4dyg_tpu.cli train-generator --dataset wikiv2 
 # fixed kernel from the working tree and trained on-chip; its
 # generator step follows inside chunk 2.)
 
+
+# --- deadline guard: the driver runs bench.py on the chip at round end
+# (~11:49 UTC); stop launching/continuing sweeps by 11:00 UTC so the
+# timed bench scan never shares the chip with a sweep job.
+DEADLINE=$(date -u -d '2026-08-18 11:00' +%s)
+left() { echo $(( DEADLINE - $(date -u +%s) )); }
+sweep() { name=$1; shift
+  if [ "$(left)" -le 600 ]; then echo "SKIP $name: past deadline"; return; fi
+  echo "=== $(date -u +%H:%M:%S) $name (budget $(left)s) ==="
+  timeout "$(left)" "$@"; echo "rc=$?"
+}
+
 # --- generator seed sweeps
-run dialog-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
+sweep dialog-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
     --dataset dialog --seeds $SEEDS \
     --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
     --backbone runs/dialog/backbone_r2/checkpoint-best \
     > $LOG/dialog_sweep.json 2> $LOG/dialog_sweep.log
 
-run hepth-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
+sweep hepth-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
     --dataset hepth --seeds $SEEDS \
     --resources runs/hepth/resources --out runs/hepth/sweep_generator_r2 \
     --backbone runs/hepth/backbone_r2/checkpoint-best \
     > $LOG/hepth_sweep.json 2> $LOG/hepth_sweep.log
 
-run wikiv2-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
+sweep wikiv2-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
     --dataset wikiv2 --seeds $SEEDS \
     --resources runs/wikiv2/resources --out runs/wikiv2/sweep_generator_r2 \
     --backbone runs/wikiv2/backbone_r2/checkpoint-best \
     > $LOG/wikiv2_sweep.json 2> $LOG/wikiv2_sweep.log
 
-run uci-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
+sweep uci-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
     --dataset UCI_13 --seeds $SEEDS \
     --resources runs/uci_masked/resources --out runs/uci_masked/sweep_generator_r2 \
     --backbone runs/uci_masked/backbone_r2/checkpoint-best \
