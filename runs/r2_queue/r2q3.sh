@@ -58,24 +58,27 @@ sweep() { name=$1; shift
   timeout "$(left)" "$@"; echo "rc=$?"
 }
 
-# --- generator seed sweeps
-sweep dialog-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
-    --dataset dialog --seeds $SEEDS \
-    --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
-    --backbone runs/dialog/backbone_r2/checkpoint-best \
-    > $LOG/dialog_sweep.json 2> $LOG/dialog_sweep.log
-
-sweep hepth-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
-    --dataset hepth --seeds $SEEDS \
-    --resources runs/hepth/resources --out runs/hepth/sweep_generator_r2 \
-    --backbone runs/hepth/backbone_r2/checkpoint-best \
-    > $LOG/hepth_sweep.json 2> $LOG/hepth_sweep.log
-
-sweep wikiv2-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
-    --dataset wikiv2 --seeds $SEEDS \
-    --resources runs/wikiv2/resources --out runs/wikiv2/sweep_generator_r2 \
-    --backbone runs/wikiv2/backbone_r2/checkpoint-best \
-    > $LOG/wikiv2_sweep.json 2> $LOG/wikiv2_sweep.log
+# --- generator seed sweeps, two passes of 5 seeds: every dataset gets
+# >=5 seeds (a usable mean/std) before any gets its second 5 — the
+# deadline may cut the tail. cmd_sweep appends per-seed to
+# sweep_results.csv, so the two invocations merge into one CSV.
+for PASS in "42,0,1,2,3" "4,5,6,7,8"; do
+  sweep dialog-sweep-$PASS python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset dialog --seeds $PASS \
+      --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
+      --backbone runs/dialog/backbone_r2/checkpoint-best \
+      >> $LOG/dialog_sweep.json 2>> $LOG/dialog_sweep.log
+  sweep hepth-sweep-$PASS python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset hepth --seeds $PASS \
+      --resources runs/hepth/resources --out runs/hepth/sweep_generator_r2 \
+      --backbone runs/hepth/backbone_r2/checkpoint-best \
+      >> $LOG/hepth_sweep.json 2>> $LOG/hepth_sweep.log
+  sweep wikiv2-sweep-$PASS python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset wikiv2 --seeds $PASS \
+      --resources runs/wikiv2/resources --out runs/wikiv2/sweep_generator_r2 \
+      --backbone runs/wikiv2/backbone_r2/checkpoint-best \
+      >> $LOG/wikiv2_sweep.json 2>> $LOG/wikiv2_sweep.log
+done
 
 sweep uci-sweep python -m rag4dyg_tpu.cli sweep --stage generator \
     --dataset UCI_13 --seeds $SEEDS \
