@@ -95,6 +95,10 @@ class RetrieverConfig:
     weight_decay: float = 0.0
     init_from_backbone: bool = True
     epochs: int = 50
+    # Early-stop patience. The committed launchers diverge per dataset
+    # (reference: scripts/train_retriever/train_retriever_*.sh — UCI 10,
+    # dialog/hepth/wikiv2/enron 5, reddit 3); the registry entries below
+    # override this default accordingly.
     patience: int = 10
     warmup_epochs: int = 0
     seed: int = 42
@@ -116,6 +120,10 @@ class GeneratorConfig:
     weight_decay: float = 1e-5  # reference args_parser_generator.py:162 default
     batch_size: int = 32
     epochs: int = 50
+    # Early-stop patience. Committed launchers: UCI/hepth/wikiv2 15,
+    # dialog 10, enron/reddit 5
+    # (reference: scripts/train_generator/train_rag_graphpooling_*_seed.sh);
+    # registry entries override per dataset.
     patience: int = 15
     warmup_epochs: int = 0
     freeze_backbone: bool = True
@@ -148,6 +156,8 @@ class DatasetSpec:
     learning_rate: float = 1e-4
     batch_size: int = 32
     epochs: int = 100
+    # Backbone early-stop patience: 10 everywhere except reddit's 5
+    # (reference: scripts/SimpleDyG/train_*.sh).
     patience: int = 10
     block_size: int = 512
     seed: int = 42
@@ -183,8 +193,8 @@ DATASETS = {
         dialog_split=True, max_positives=4,
         retriever=RetrieverConfig(alpha=0.4, eta=0.8, gamma=0.6, lambda_decay=10.0,
                                   batch_size=128, n_layer=2, n_head=2, n_embd=256,
-                                  learning_rate=1e-5),
-        generator=GeneratorConfig(learning_rate=1e-3),
+                                  learning_rate=1e-5, patience=5),
+        generator=GeneratorConfig(learning_rate=1e-3, patience=10, batch_size=64),
     ),
     "hepth": DatasetSpec(
         name="hepth", timestep=11, csv_name="hepth", time_scale=2592000.0,
@@ -193,7 +203,7 @@ DATASETS = {
         node_features="node_features.npy", node_feature_dim=172,
         retriever=RetrieverConfig(alpha=1.0, eta=0.8, gamma=0.6, lambda_decay=0.1,
                                   batch_size=128, n_layer=12, n_head=2, n_embd=256,
-                                  learning_rate=1e-4),
+                                  learning_rate=1e-4, patience=5),
         generator=GeneratorConfig(learning_rate=1e-3),
     ),
     "wikiv2": DatasetSpec(
@@ -201,24 +211,28 @@ DATASETS = {
         n_layer=2, n_head=6, n_embd=768, learning_rate=1e-4, seed=42,
         retriever=RetrieverConfig(alpha=0.2, eta=0.6, gamma=0.8, lambda_decay=1.0,
                                   batch_size=128, n_layer=2, n_head=6, n_embd=768,
-                                  learning_rate=1e-6),
+                                  learning_rate=1e-6, patience=5, seed=1),
         generator=GeneratorConfig(learning_rate=1e-4),
     ),
     "enron": DatasetSpec(
+        # Primary seeds follow the committed loops: backbone `for seed in
+        # 0 1..8 #42` (scripts/SimpleDyG/train_enron.sh:9), retriever seed 0,
+        # generator `for seed in 1 2 3`.
         name="enron", timestep=16, csv_name="enron", time_scale=1.0,
-        n_layer=2, n_head=6, n_embd=768, learning_rate=1e-4, seed=42,
+        n_layer=2, n_head=6, n_embd=768, learning_rate=1e-4, seed=0,
         retriever=RetrieverConfig(alpha=0.2, eta=0.6, gamma=0.8, lambda_decay=10.0,
                                   batch_size=32, n_layer=2, n_head=6, n_embd=768,
-                                  learning_rate=1e-6),
-        generator=GeneratorConfig(learning_rate=1e-4),
+                                  learning_rate=1e-6, patience=5, seed=0),
+        generator=GeneratorConfig(learning_rate=1e-4, patience=5, seed=1),
     ),
     "reddit": DatasetSpec(
         name="reddit", timestep=11, csv_name="reddit", time_scale=1.0,
         n_layer=2, n_head=8, n_embd=512, learning_rate=1e-4, seed=42,
+        patience=5,
         node_features="node_features.npy", node_feature_dim=300,
         retriever=RetrieverConfig(alpha=0.2, eta=0.2, gamma=0.8, lambda_decay=10.0,
                                   batch_size=128, n_layer=2, n_head=8, n_embd=512,
-                                  learning_rate=1e-6),
-        generator=GeneratorConfig(learning_rate=1e-4),
+                                  learning_rate=1e-6, patience=3),
+        generator=GeneratorConfig(learning_rate=1e-4, patience=5),
     ),
 }
