@@ -20,6 +20,7 @@ query-time → backbone → retriever → generator).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import os
@@ -228,7 +229,19 @@ def cmd_eval(args):
         from rag4dyg_tpu.config import GeneratorConfig
         from rag4dyg_tpu.utils.checkpoint import load_meta
         saved = load_meta(args.checkpoint).get("generator_config")
-        gcfg = GeneratorConfig(**saved) if saved else spec.generator
+        if saved:
+            # tolerate field drift across versions: drop saved keys the
+            # current GeneratorConfig no longer has (warn) instead of
+            # failing eval of older checkpoints with a TypeError
+            fields = {f.name for f in dataclasses.fields(GeneratorConfig)}
+            dropped = sorted(set(saved) - fields)
+            if dropped:
+                print(f"WARNING: ignoring stale generator_config keys "
+                      f"from checkpoint meta: {dropped}")
+            gcfg = GeneratorConfig(**{k: v for k, v in saved.items()
+                                      if k in fields})
+        else:
+            gcfg = spec.generator
         train_lines = read_corpus_lines(
             os.path.join(args.resources, "train.link_prediction"))
         store = DemoStore(tok.encode_batch(train_lines,

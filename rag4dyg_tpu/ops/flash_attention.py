@@ -69,13 +69,15 @@ def _keep_mask(seed, cell, shape, rate: float):
     counter-input hash) over ``element_index ^ mix(seed, cell)`` —
     ~7 integer ops/element in VMEM vs threefry's ~100+ through HBM.
 
-    ``cell`` is the GLOBAL (batch, head) cell id, shipped per grid step as
-    a scalar operand rather than read from ``pl.program_id`` — program ids
-    restart at 0 on every device under GSPMD partitioning, so a pid-based
-    stream would repeat the same mask on every shard and could diverge
-    between a forward and a backward lowered with different shardings;
-    the global id makes the mask a pure function of (seed, cell,
-    position), bit-identical however the call is partitioned.
+    ``cell`` is the GLOBAL (batch, head) cell id. The kernels read it as
+    ``cell_ref[pl.program_id(0), 0]`` — the program id is only ever used
+    to index the globally-numbered ``cells`` array, which is co-sharded
+    with q/k/v, so each shard's grid steps still see their own global
+    ids. (Bare program ids restart at 0 on every device under GSPMD
+    partitioning, so a pid-based stream itself would repeat the same
+    mask on every shard.) The mask therefore stays a pure function of
+    (seed, global cell, position), bit-identical however the call is
+    partitioned.
     """
     h0 = (seed.astype(jnp.uint32) ^
           ((cell + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))

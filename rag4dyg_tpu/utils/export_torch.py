@@ -150,16 +150,16 @@ def import_reference_checkpoint(ref_dir: str):
       the identical tensor as ``transformer.wte.weight``.
     - ``gnn_fusion.convs.N.{weight,bias}`` / ``mlp_fusion...`` linears
       (models/modeling_rag.py:44-99). Layer order is numeric (convs.10
-      after convs.2), and weight orientation is auto-detected: our fusion
-      kernels are x@W with W [in, out]; old-PyG GCNConv stores [in, out]
-      while torch.nn.Linear and PyG>=2 ``lin.weight`` store [out, in].
-      Orientation is chosen by chaining the whole stack from the known
-      input dim (n_embd for gnn, 512 for mlp — utils/model.py:133) and
-      transposing all layers iff the as-is orientation does not chain
-      (an all-square stack chains both ways and is taken as-is — that
-      matches every shipped reference config, where the first GCN layer
-      n_embd -> n_embd/2 is non-square). Single layer keeps the flat
-      {kernel, bias} tree.
+      after convs.2). Weight orientation is decided per key NAME, which
+      determines it unambiguously (shape-chaining alone mis-handles the
+      shipped gnn_layers=1 config, whose single GCNConv is square):
+      our fusion kernels are x@W with W [in, out]; old-PyG GCNConv
+      ``convs.N.weight`` already stores [in, out] (kept as-is), while
+      torch.nn.Linear (every ``mlp_fusion`` weight) and PyG>=2
+      ``convs.N.lin.weight`` store [out, in] (always transposed). The
+      resulting stack is then validated by chaining it from the known
+      input dim (n_embd for gnn, 512 for mlp — utils/model.py:133).
+      Single layer keeps the flat {kernel, bias} tree.
     """
     import re
 
@@ -189,8 +189,15 @@ def import_reference_checkpoint(ref_dir: str):
          and ("gnn_fusion" in k or "mlp_fusion" in k)),
         key=lambda k: (_layer_idx(k), k))
     if fusion_keys:
-        kernels = [np.asarray(sd[k].detach().cpu().numpy())
-                   for k in fusion_keys]
+        # [out, in] layouts (torch.nn.Linear / PyG>=2 GCNConv.lin) are
+        # transposed to our x@W [in, out]; bare old-PyG GCNConv `.weight`
+        # is already [in, out].
+        kernels = []
+        for k in fusion_keys:
+            w = np.asarray(sd[k].detach().cpu().numpy())
+            if ".lin.weight" in k or "mlp_fusion" in k:
+                w = w.T
+            kernels.append(w)
         in_dim = (rc["n_embd"] if "gnn_fusion" in fusion_keys[0]
                   else 512)  # MLP fusion pad length, utils/model.py:133
 
@@ -203,12 +210,10 @@ def import_reference_checkpoint(ref_dir: str):
             return True
 
         if not _chains(kernels):
-            flipped = [w.T for w in kernels]
-            if not _chains(flipped):
-                raise ValueError(
-                    f"fusion weights {[w.shape for w in kernels]} do not "
-                    f"chain from input dim {in_dim} in either orientation")
-            kernels = flipped
+            raise ValueError(
+                f"fusion weights {[w.shape for w in kernels]} "
+                f"({fusion_keys}) do not chain from input dim {in_dim} "
+                f"after name-based orientation")
 
         biases = []
         for k, w in zip(fusion_keys, kernels):

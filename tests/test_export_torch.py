@@ -182,12 +182,13 @@ def test_import_fusion_orientation_and_ordering(tmp_path):
     assert np.array_equal(tree["fusion"]["bias_0"], b0)
 
     # (b) 11-layer stack orders numerically: lexicographic order would
-    # put layer 10 between 1 and 2 and break the dim chain
+    # put layer 10 between 1 and 2 and break the dim chain. Weights in
+    # the real nn.Linear [out, in] layout.
     dims = [512] + [8 + i for i in range(11)]
     extra = {}
     ws = []
     for i in range(11):
-        w = rng.randn(dims[i], dims[i + 1]).astype(np.float32)
+        w = rng.randn(dims[i + 1], dims[i]).astype(np.float32)
         ws.append(w)
         extra[f"mlp_fusion.linears.{i}.weight"] = w
         extra[f"mlp_fusion.linears.{i}.bias"] = (
@@ -195,7 +196,7 @@ def test_import_fusion_orientation_and_ordering(tmp_path):
     d = save_ckpt("deep_mlp", extra)
     tree, _ = import_reference_checkpoint(d)
     for i, w in enumerate(ws):
-        assert np.array_equal(tree["fusion"][f"kernel_{i}"], w), i
+        assert np.array_equal(tree["fusion"][f"kernel_{i}"], w.T), i
 
     # (c) PyG>=2 GCNConv: convs.N.lin.weight [out, in], bias at convs.N;
     # first layer n_embd -> n_embd//2 is non-square -> orientation detected
@@ -212,3 +213,18 @@ def test_import_fusion_orientation_and_ordering(tmp_path):
     assert np.array_equal(tree["fusion"]["kernel_1"], g1.T)
     assert np.array_equal(tree["fusion"]["bias_0"], gb0)
     assert np.array_equal(tree["fusion"]["bias_1"], gb1)
+
+    # (d) ADVICE round-2 regression: the DEFAULT shipped graphpooling
+    # config (gnn_layers=1 — main_generator.py:83-84) builds a single
+    # SQUARE GCNConv(n_embd, n_embd). A PyG>=2 checkpoint stores it as
+    # convs.0.lin.weight [out, in]; shape-chaining alone cannot
+    # disambiguate a square kernel, so the importer must transpose it
+    # by key name, not take it as-is.
+    gsq = rng.randn(cfg.n_embd, cfg.n_embd).astype(np.float32)
+    gsqb = rng.randn(cfg.n_embd).astype(np.float32)
+    d = save_ckpt("pyg2_square_1layer", {
+        "gnn_fusion.convs.0.lin.weight": gsq,
+        "gnn_fusion.convs.0.bias": gsqb})
+    tree, _ = import_reference_checkpoint(d)
+    assert np.array_equal(tree["fusion"]["kernel"], gsq.T)
+    assert np.array_equal(tree["fusion"]["bias"], gsqb)
