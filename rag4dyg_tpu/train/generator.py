@@ -565,18 +565,25 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
 
         t_train = time.time() - t_epoch
         val_metrics = retry_transient(evaluate, params, "val")
+        # val_loss is None (explicitly absent, not nan) when the val split
+        # has no full batch — the drop_last eval-loader quirk leaves
+        # nothing to average at smoke scale (reference:
+        # dataloader/generator.py:130-134)
         val_loss = (float(retry_transient(eval_loss_fn, params, vbatches,
                                           vd_ids, vd_valid))
-                    if eval_loss_fn is not None else float("nan"))
+                    if eval_loss_fn is not None else None)
         t_eval = time.time() - t_epoch - t_train
         score = val_metrics["NDCG"]
-        logger.info("epoch %d | loss %.4f | val loss %.4f | "
+        logger.info("epoch %d | loss %.4f | val loss %s | "
                     "val NDCG@5 %.4f | train %.0fs eval %.0fs", epoch,
-                    epoch_loss / max(1, nb), val_loss, score, t_train,
-                    t_eval)
-        runlog.log_scalars(epoch, {"train_loss": epoch_loss / max(1, nb),
-                                   "val_loss": val_loss,
-                                   "val_ndcg5": score,
+                    epoch_loss / max(1, nb),
+                    "n/a (no full val batch)" if val_loss is None
+                    else f"{val_loss:.4f}", score, t_train, t_eval)
+        scalars = {"train_loss": epoch_loss / max(1, nb),
+                   "val_ndcg5": score}
+        if val_loss is not None:
+            scalars["val_loss"] = val_loss
+        runlog.log_scalars(epoch, {**scalars,
                                    "val_jaccard": val_metrics["jaccard"],
                                    "val_recall5": val_metrics["R"],
                                    "train_seconds": round(t_train, 1),

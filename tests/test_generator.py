@@ -205,6 +205,31 @@ def test_generator_eval_loss_matches_manual():
     assert abs(loss - np.mean(manual)) < 1e-5
 
 
+def test_generator_eval_loss_all_ignored_is_finite():
+    """VERDICT r2 #7: a val batch whose batch-window mask leaves ZERO
+    counted positions (all-pad rows at smoke scale) must yield a finite
+    loss, not a 0/0 nan (train/generator.py val-loss path;
+    shift_ce_loss divides by max(count, 1))."""
+    from rag4dyg_tpu.train.generator import make_generator_eval_loss
+
+    cfg = ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                      n_positions=64, embd_pdrop=0.0, attn_pdrop=0.0,
+                      resid_pdrop=0.0)
+    model = GPT2LMModel(cfg)
+    params = dict(init_params(cfg, jax.random.PRNGKey(0)))
+    params["fusion"] = init_fusion_params(jax.random.PRNGKey(1), cfg,
+                                          "graphpooling", m=1)
+    pad_id = 31
+    S, B, L = 1, 2, 8
+    batches = jnp.full((S, B, L), pad_id, jnp.int32)  # all-pad rows
+    d_ids = jnp.zeros((S, B, 2, 5), jnp.int32)
+    d_valid = jnp.ones((S, B, 2, 5), bool)
+    loss = float(make_generator_eval_loss(
+        model, fusion="graphpooling", m=1, pad_id=pad_id)(
+            params, batches, d_ids, d_valid))
+    assert np.isfinite(loss), loss
+
+
 def test_generator_freeze_stop_gradient_equivalent():
     """freeze=True (stop_gradient on the backbone) produces the SAME
     fusion update as freeze=False under the multi_transform freeze —
