@@ -109,10 +109,36 @@ class DenseIndex:
         s, i = self.topk_device(queries, k, interpret=interpret)
         return np.asarray(s), np.asarray(i)
 
+    def rank_full(self, queries) -> jnp.ndarray:
+        """Full descending ranking of the pool per query, on device.
+
+        Returns int32 [B, N] pool indices, ties broken to the LOWEST pool
+        index (stable descending order — the canonical tie order of
+        ``ops.topk_pallas.topk_reference``; the reference's
+        ``np.argsort(-scores)`` at train/train_retriever.py:358 is an
+        unstable introsort whose tie order we canonicalize, documented in
+        PARITY.md). Replaces the host-side full argsort of a downloaded
+        [B, N] f32 score matrix for .gen emission
+        (reference: train/train_retriever.py:357-368).
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "full ranking of a mesh-sharded pool is intentionally "
+                "unsupported — emit a top-k .gen instead (topk_device)")
+        return _rank_dense(jnp.asarray(queries), self.pool)
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_dense(queries, pool_normed, k: int):
     return jax.lax.top_k(_score_dense(queries, pool_normed), k)
+
+
+@jax.jit
+def _rank_dense(queries, pool_normed):
+    scores = _score_dense(queries, pool_normed)
+    # stable ascending argsort of -scores == stable descending ranking
+    # (lowest index first on ties); f32 negation is exact
+    return jnp.argsort(-scores, axis=1, stable=True).astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
