@@ -136,6 +136,17 @@ def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
 
     ``constrain``: optional fn applied to the stacked [5, B, L] passes —
     the sharded step injects ``with_sharding_constraint`` here.
+
+    Per-role padding: when ``neg`` has a different length than
+    ``anchor``/``pos``, the negatives are encoded in their own pass at
+    their own length — the reference collate pads each role SEPARATELY
+    to its own batch max (dataloader/retriever.py:147-152
+    ``pad_sequence`` per role), so short anchors never pay a long
+    negative's quadratic attention (at reddit's length mix this is the
+    difference between 18.9%% and >30%% MFU). The four same-length
+    passes (anchor/pos/aug1/aug2) stay in one sequential-backward scan;
+    dropout streams stay keyed by role index (anchor 0, pos 1, neg 2,
+    aug 3/4) in both layouts.
     """
     ckpt = _remat_decorator(remat)
 
@@ -152,17 +163,36 @@ def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
 
         aug1, aug2 = augment_views(anchor, aug_rng, eta=eta, gamma=gamma,
                                    mask_token=mask_token)
-        stacked = jnp.stack([anchor, pos, neg, aug1, aug2])   # [5, B, L]
-        if constrain is not None:
-            stacked = constrain(stacked)
-        pass_rngs = jax.vmap(
-            lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(5))
+        fold = lambda i: jax.random.fold_in(drop_rng, i)
 
-        def body(_, xs):
-            ids, r = xs
-            return None, encode(ids, r)
-        _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
-        h_a, h_p, h_n, z1, z2 = embs
+        if constrain is not None or neg.shape == anchor.shape:
+            # joint 5-pass scan (the sharded step's constrain needs the
+            # stacked form; also the bit-exact layout of the recorded
+            # equal-bucket runs)
+            stacked = jnp.stack([anchor, pos, neg, aug1, aug2])  # [5,B,L]
+            if constrain is not None:
+                stacked = constrain(stacked)
+            pass_rngs = jax.vmap(fold)(jnp.arange(5))
+
+            def body(_, xs):
+                ids, r = xs
+                return None, encode(ids, r)
+            _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
+            h_a, h_p, h_n, z1, z2 = embs
+        else:
+            # split layout: 4-pass scan at the anchor/pos length + one
+            # negative pass at its own length. Peak backward memory is
+            # two passes (the scan's sequential one + the neg pass);
+            # the equal-length path above keeps the single-pass peak.
+            stacked = jnp.stack([anchor, pos, aug1, aug2])
+            pass_rngs = jax.vmap(fold)(jnp.asarray([0, 1, 3, 4]))
+
+            def body(_, xs):
+                ids, r = xs
+                return None, encode(ids, r)
+            _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
+            h_a, h_p, z1, z2 = embs
+            h_n = encode(neg, fold(2))
         cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
                          temperature=temperature,
                          decay_rate=lambda_decay)
@@ -188,10 +218,15 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
         remat=remat)
 
     @jax.jit
-    def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng):
+    def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng,
+             pool_ids_neg=None):
+        # pool_ids_neg: optional second pool view (possibly longer padded
+        # length) to gather negatives from — per-role padding like the
+        # reference collate (see make_contrastive_loss_fn)
         anchor = jnp.take(pool_ids, idx[:, 0], axis=0)
         pos = jnp.take(pool_ids, idx[:, 1], axis=0)
-        neg = jnp.take(pool_ids, idx[:, 2], axis=0)
+        neg = jnp.take(pool_ids if pool_ids_neg is None else pool_ids_neg,
+                       idx[:, 2], axis=0)
 
         def loss_fn(p):
             return loss_body(p, anchor, pos, neg, a_t, p_t, n_t, rng)
@@ -228,17 +263,19 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs,
-              valids):
+              valids, pool_ids_neg=None):
         # idx_all: [S, B, 3]; times [S, B]; rngs [S] keys; valids [S] —
         # False marks padding steps (chunks are padded to a fixed length
         # so every dispatch reuses one compiled shape); their updates are
-        # discarded, so the optimizer step count tracks real steps only
+        # discarded, so the optimizer step count tracks real steps only.
+        # pool_ids_neg: optional separate (longer) view for negatives.
         def body(carry, xs):
             params, opt_state = carry
             idx, at, pt, nt, rng, valid = xs
             # nested jit inlines under the outer trace
             new_p, new_o, loss, _, _ = step(
-                params, opt_state, pool_ids, idx, at, pt, nt, rng)
+                params, opt_state, pool_ids, idx, at, pt, nt, rng,
+                pool_ids_neg=pool_ids_neg)
             keep = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(valid, a, b), new, old)
             return ((keep(new_p, params), keep(new_o, opt_state)),
@@ -568,9 +605,16 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
     # running longer than ~100 s ("TPU worker process crashed or
     # restarted"). At ~0.7 s/step worst case (L=512, B=128) a 32-step
     # chunk stays ~4x under the cap; relay round-trips cost seconds, so
-    # bigger chunks directly cut epoch wall-clock.
-    def chunk_steps(b: int) -> int:
-        return max(32, int(128 * (LB / b)))
+    # bigger chunks directly cut epoch wall-clock. Step cost under the
+    # per-role split is 4 passes at the anchor bucket + 1 at the neg
+    # bucket, so the cap scales with that mix, and small groups round up
+    # to a power of two instead of the full cap (bounded compiled shapes,
+    # <50% masked-step waste even with many (ba, bn) groups).
+    def chunk_steps(ba: int, bn: int, group: int) -> int:
+        ch = max(32, int(128 * (5 * LB) / (4 * ba + bn)))
+        if group < ch:
+            ch = max(8, 1 << (group - 1).bit_length())
+        return ch
     dispatch_timer = StepTimer()
     for epoch in range(epochs):
         t_epoch = time.time()
@@ -583,53 +627,65 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         if n_full:
             idx_all = pairs[order[: n_full * B]].astype(np.int32)
             idx_all = idx_all.reshape(n_full, B, 3)
-            # per-batch pad bucket = max member bucket (the reference pads
-            # each batch to ITS max length; batches stay randomly composed)
-            step_bucket = line_bucket[idx_all].max(axis=(1, 2))   # [S]
+            # per-batch, PER-ROLE pad buckets (the reference collate pads
+            # each of anchor/pos/neg to its own batch max —
+            # dataloader/retriever.py:147-152 pad_sequence per role):
+            # anchor/pos/aug share one bucket, negatives get their own, so
+            # a batch of short anchors never pays a long negative's
+            # quadratic attention (reddit: p50=8-token pool, 512-token
+            # tail). Batches stay randomly composed.
+            bucket_ap = line_bucket[idx_all[:, :, :2]].max(axis=(1, 2))
+            bucket_ng = line_bucket[idx_all[:, :, 2]].max(axis=1)
             times = query_times[idx_all]                  # [S, B, 3]
             rng, epoch_rng = jax.random.split(rng)
             rngs = np.asarray(jax.random.split(epoch_rng, n_full))
-            for b in buckets:
-                sel = np.where(step_bucket == b)[0]
-                if not len(sel):
-                    continue
-                # pad to a multiple of the bucket's chunk size with masked
+            groups = sorted(set(zip(bucket_ap.tolist(), bucket_ng.tolist())))
+            for ba, bn in groups:
+                sel = np.where((bucket_ap == ba) & (bucket_ng == bn))[0]
+                # pad to a multiple of the group's chunk size with masked
                 # no-op steps so every dispatch reuses one compiled shape
-                CH = chunk_steps(b)
+                CH = chunk_steps(ba, bn, len(sel))
                 n_chunks = -(-len(sel) // CH)
                 padded = np.zeros(n_chunks * CH, np.int64)
                 padded[: len(sel)] = sel
                 valid = np.zeros(n_chunks * CH, bool)
                 valid[: len(sel)] = True
+                neg_view = None if bn == ba else pool_views[bn]
                 for c in range(n_chunks):
                     sl = padded[c * CH:(c + 1) * CH]
                     vl = valid[c * CH:(c + 1) * CH]
                     with dispatch_timer.step():
                         params, opt_state, loss_sum = retry_transient(
-                            epoch_fn, params, opt_state, pool_views[b],
+                            epoch_fn, params, opt_state, pool_views[ba],
                             jnp.asarray(idx_all[sl]),
                             jnp.asarray(times[sl, :, 0]),
                             jnp.asarray(times[sl, :, 1]),
                             jnp.asarray(times[sl, :, 2]),
-                            jnp.asarray(rngs[sl]), jnp.asarray(vl))
+                            jnp.asarray(rngs[sl]), jnp.asarray(vl),
+                            pool_ids_neg=neg_view)
                         epoch_loss += float(loss_sum)
                     nb += int(vl.sum())
-                    # 5 encoder passes per step at bucket b; the full-remat
-                    # mode pays one extra forward (dots/none do not)
+                    # 4 anchor-bucket passes + 1 neg-bucket pass per step;
+                    # the full-remat mode pays one extra forward
+                    nv = float(vl.sum()) * B
                     epoch_flops += lm_train_flops(
-                        rcfg.n_layer, rcfg.n_embd,
-                        float(vl.sum()) * B * b * 5, b,
+                        rcfg.n_layer, rcfg.n_embd, nv * ba * 4, ba,
+                        remat=(remat == "full"))
+                    epoch_flops += lm_train_flops(
+                        rcfg.n_layer, rcfg.n_embd, nv * bn, bn,
                         remat=(remat == "full"))
         rem = pairs[order[n_full * B:]].astype(np.int32)
         if len(rem) and not max_steps_per_epoch:  # drop_last=False tail
-            b = int(line_bucket[rem].max())
+            ba = int(line_bucket[rem[:, :2]].max())
+            bn = int(line_bucket[rem[:, 2]].max())
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, _, _ = retry_transient(
-                train_step, params, opt_state, pool_views[b],
+                train_step, params, opt_state, pool_views[ba],
                 jnp.asarray(rem),
                 jnp.asarray(query_times[rem[:, 0]]),
                 jnp.asarray(query_times[rem[:, 1]]),
-                jnp.asarray(query_times[rem[:, 2]]), step_rng)
+                jnp.asarray(query_times[rem[:, 2]]), step_rng,
+                pool_ids_neg=None if bn == ba else pool_views[bn])
             epoch_loss += float(loss)
             nb += 1
 

@@ -106,6 +106,75 @@ def test_remat_modes_numerically_identical():
             outs[mode][1], outs["full"][1])
 
 
+def test_split_neg_layout_matches_joint():
+    """Per-role padding (pool_ids_neg at its own length) must match the
+    joint 5-pass layout: with dropout off, masked mean pooling and causal
+    attention make trailing pads inert, so encoding negatives at a longer
+    padded length changes nothing but the op shapes."""
+    cfg = ModelConfig(vocab_size=V, n_layer=2, n_head=2, n_embd=32,
+                      n_positions=64, embd_pdrop=0.0, attn_pdrop=0.0,
+                      resid_pdrop=0.0)
+    model = GPT2LMModel(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(params, linear_warmup_linear_decay(1e-4, 0, 100))
+    rng = np.random.RandomState(1)
+    pool_short = np.full((N, L), 0, np.int32)          # pad_id = 0
+    lens = rng.randint(2, L - 4, N)
+    for i, ln in enumerate(lens):
+        pool_short[i, :ln] = rng.randint(1, V - 2, ln)
+    pool_long = np.concatenate(
+        [pool_short, np.zeros((N, L), np.int32)], axis=1)  # same rows @ 2L
+    idx = jnp.asarray(rng.randint(0, N, (B, 3)), jnp.int32)
+    times = jnp.asarray(rng.rand(B, 3), jnp.float32)
+    step = make_retriever_train_step(
+        model, opt, alpha=1.0, temperature=0.1, lambda_decay=0.1,
+        eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(7)
+    _, _, loss_joint, cl_j, aug_j = step(
+        params, opt_state, jnp.asarray(pool_short), idx,
+        times[:, 0], times[:, 1], times[:, 2], key)
+    new_p, _, loss_split, cl_s, aug_s = step(
+        params, opt_state, jnp.asarray(pool_short), idx,
+        times[:, 0], times[:, 1], times[:, 2], key,
+        pool_ids_neg=jnp.asarray(pool_long))
+    np.testing.assert_allclose(float(loss_split), float(loss_joint),
+                               rtol=2e-6)
+    np.testing.assert_allclose(float(cl_s), float(cl_j), rtol=2e-6)
+    np.testing.assert_allclose(float(aug_s), float(aug_j), rtol=2e-6)
+    assert np.isfinite(float(loss_split))
+    moved = not jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), params, new_p))
+    assert moved
+
+
+def test_epoch_scan_accepts_neg_view():
+    """The whole-epoch scan threads pool_ids_neg through to the step and
+    still masks invalid steps bit-exactly."""
+    _, model, params, opt, pool, idx, times = _setup()
+    epoch_fn, _ = make_retriever_epoch_fn(
+        model, opt, alpha=0.5, temperature=0.1, lambda_decay=0.1,
+        eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0)
+    opt_state = opt.init(params)
+    pool_long = jnp.concatenate(
+        [pool, jnp.zeros((N, L), jnp.int32)], axis=1)
+    rngs = jnp.asarray(jax.random.split(jax.random.PRNGKey(2), 2))
+    xs = (jnp.stack([idx, idx]), jnp.stack([times[:, 0]] * 2),
+          jnp.stack([times[:, 1]] * 2), jnp.stack([times[:, 2]] * 2), rngs)
+    p_inv, _, loss0 = epoch_fn(params, opt_state, pool, *xs,
+                               jnp.asarray([False, False]),
+                               pool_ids_neg=pool_long)
+    assert float(loss0) == 0.0
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), params, p_inv))
+    p_one, _, loss1 = epoch_fn(params, opt_state, pool, *xs,
+                               jnp.asarray([True, False]),
+                               pool_ids_neg=pool_long)
+    assert float(loss1) != 0.0
+    assert not jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), params, p_one))
+
+
 def test_remat_mode_rejects_unknown():
     import pytest
     _, model, _, opt, *_ = _setup()
