@@ -29,7 +29,8 @@ import optax
 
 from rag4dyg_tpu.config import ModelConfig
 from rag4dyg_tpu.models import GPT2LMModel, init_params
-from rag4dyg_tpu.train.retriever import make_retriever_epoch_fn
+from rag4dyg_tpu.train.retriever import (make_retriever_epoch_fn,
+                                          _check_remat_dots_budget)
 from rag4dyg_tpu.train.state import make_optimizer
 from rag4dyg_tpu.utils.profiling import TPU_PEAK_FLOPS, lm_train_flops
 
@@ -47,6 +48,11 @@ def _shrink_for_smoke():
 
 def bench(dtype: str, impl: str, s_small: int, s_big: int,
           remat: str = "full"):
+    # same fail-fast as the trainer: --remat dots at this 5-pass shape
+    # crashes the remote compiler once the saved dots exceed HBM
+    _check_remat_dots_budget(remat, batch=B, seq_len=L, n_layer=N_LAYER,
+                             n_embd=N_EMBD, n_head=N_HEAD, dtype=dtype,
+                             attention_impl=impl)
     config = ModelConfig(vocab_size=VOCAB, n_layer=N_LAYER, n_head=N_HEAD,
                          n_embd=N_EMBD, dtype=dtype, attention_impl=impl,
                          eta=0.6, gamma=0.8)

@@ -44,6 +44,13 @@ class PreprocessParams:
     filter_to_train_nodes: bool = True   # data_trans isin() filter
     val_gap: int = 1              # train window ends at T - 1 - (val_gap - 1)
     undirected_dedup: bool = True  # collapse (u,i)/(i,u) within a slice
+    # UCI/dialog/hepth data_trans re-zero ts to the stream start
+    # (``data['ts'] = data['ori_time'] - min(...)``); wikiv2/reddit/enron
+    # ship that line COMMENTED OUT and keep the raw time
+    # (all_data/wikiv2/data_trans.py:45-46, reddit:44-46, enron readme +
+    # script). Absolute shift cancels in the min-max-normalized query
+    # times, but the emitted ml_*.csv ts column must match byte-for-byte.
+    rezero_ts: bool = True
 
 
 DAY = 86400.0
@@ -61,14 +68,17 @@ PREPROCESS_PARAMS: Dict[str, PreprocessParams] = {
     # 1993-05..1995-05 window), data_trans filter OFF
     "hepth": PreprocessParams(slice_len=60 * DAY,
                               filter_to_train_nodes=False),
-    # reference: all_data/wikiv2/pre/preprocess.py:74 (2-day slices)
-    "wikiv2": PreprocessParams(slice_len=2 * DAY),
-    # reference: all_data/enron/pre/preprocess.py:88 (45-unit slices)
-    "enron": PreprocessParams(slice_len=45.0),
+    # reference: all_data/wikiv2/pre/preprocess.py:74 (2-day slices);
+    # data_trans keeps raw ts (wikiv2/data_trans.py:45-46)
+    "wikiv2": PreprocessParams(slice_len=2 * DAY, rezero_ts=False),
+    # reference: all_data/enron/pre/preprocess.py:88 (45-unit slices);
+    # data_trans keeps raw ts ("ts is the original time", enron readme)
+    "enron": PreprocessParams(slice_len=45.0, rezero_ts=False),
     # reference: all_data/reddit/pre/preprocess.py:148 (30-day slices),
-    # data_trans filter OFF
+    # data_trans filter OFF, raw ts (reddit/data_trans.py:44-46)
     "reddit": PreprocessParams(slice_len=30 * DAY,
-                               filter_to_train_nodes=False),
+                               filter_to_train_nodes=False,
+                               rezero_ts=False),
 }
 
 
@@ -153,7 +163,8 @@ def make_timestep_table(data: pd.DataFrame, timestep: int,
     data = data.copy()
     if "label" not in data:
         data["label"] = 0
-    data["ts"] = data["ts"] - data["ts"].min()
+    if params.rezero_ts:
+        data["ts"] = data["ts"] - data["ts"].min()
     data = data.sort_values(by="ts", kind="stable")
     data = data[["u", "i", "ts", "label", "timestamp"]]
 

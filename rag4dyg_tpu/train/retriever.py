@@ -116,6 +116,50 @@ def _remat_decorator(remat: str):
                      "(expected full|dots|none)")
 
 
+#: HBM budget for ``--remat dots`` saved-dot buffers. The contrastive
+#: step scans five encoder passes; with the ``checkpoint_dots`` policy
+#: every pass's stored MXU outputs are live at once between the scan's
+#: forward and backward, and at wikiv2 scale (B=128 L=512 x 12 layers)
+#: that is tens of GB — the remote XLA compile helper crashes (HTTP 500)
+#: before the program could even OOM (RESULTS.md round-2 remat note).
+#: 4 GiB leaves headroom for params/optimizer/activations on a 16 GB
+#: chip; everything the committed runs use ("full") bypasses the check.
+_REMAT_DOTS_BUDGET_BYTES = 4 << 30
+
+
+def _check_remat_dots_budget(remat: str, *, batch: int, seq_len: int,
+                             n_layer: int, n_embd: int, n_head: int,
+                             dtype: str, attention_impl: str) -> None:
+    """Fail fast when ``--remat dots`` would save more dot outputs than
+    the chip can hold (VERDICT r2 "What's missing" #6).
+
+    Estimate per encoder pass, per layer: qkv projection [B,L,3E] +
+    attention output projection [B,L,E] + MLP fc [B,L,4E] + MLP proj
+    [B,L,E] = 9*B*L*E stored elements, plus the XLA attention path's
+    [B,H,L,L] score matmul output (the flash pallas call is opaque to
+    the checkpoint policy, so its internals never enter the saved set).
+    All five contrastive passes' saved dots are live simultaneously.
+    """
+    if remat != "dots":
+        return
+    itemsize = 2 if dtype == "bfloat16" else 4
+    per_layer = 9 * batch * seq_len * n_embd
+    if attention_impl != "flash":
+        per_layer += batch * n_head * seq_len * seq_len
+    total = 5 * n_layer * per_layer * itemsize
+    if total > _REMAT_DOTS_BUDGET_BYTES:
+        raise ValueError(
+            f"--remat dots would keep ~{total / (1 << 30):.1f} GiB of saved "
+            f"dot outputs live across the five contrastive passes at this "
+            f"shape (B={batch}, L={seq_len}, {n_layer} layers, {dtype}, "
+            f"attention={attention_impl}) — beyond the "
+            f"{_REMAT_DOTS_BUDGET_BYTES / (1 << 30):.0f} GiB budget; the "
+            f"remote TPU compiler is known to crash here (RESULTS.md "
+            f"round-2 remat note). Use --remat full (the default: one "
+            f"pass's activations, ~25% extra forward FLOPs) or shrink the "
+            f"batch/sequence length.")
+
+
 def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
                              temperature: float, lambda_decay: float,
                              eta: float, gamma: float, mask_token: int,
@@ -496,6 +540,10 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                          n_head=rcfg.n_head, n_embd=rcfg.n_embd, dtype=dtype,
                          attention_impl=attention_impl,
                          eta=rcfg.eta, gamma=rcfg.gamma)
+    _check_remat_dots_budget(remat, batch=rcfg.batch_size,
+                             seq_len=spec.block_size, n_layer=rcfg.n_layer,
+                             n_embd=rcfg.n_embd, n_head=rcfg.n_head,
+                             dtype=dtype, attention_impl=attention_impl)
     model = GPT2LMModel(config)
     rng, init_rng = jax.random.split(rng)
     params = init_params(config, init_rng)

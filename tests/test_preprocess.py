@@ -120,3 +120,70 @@ def test_uci_golden_ml_csv_from_raw():
     # both tables are globally sorted by ts
     assert (np.diff(table["ts"].to_numpy()) >= 0).all()
     assert (np.diff(golden["ts"].to_numpy()) >= 0).all()
+
+
+def test_enron_fixture_data_trans_golden(tmp_path):
+    """The reference commits NO enron data (all_data/enron/ holds only
+    readme.md + scripts; readme.md:1-12 documents just the DyTAG tuple
+    format), so enron L0 can only be pinned against a transliteration
+    oracle of its committed data_trans.py run on the synthetic fixture
+    (VERDICT r2 missing #4/#7).
+
+    Oracle = all_data/enron/data_trans.py semantics: the undirected
+    export repeats every link, so keep odd lines (iloc[::2], line 33);
+    ts stays the RAW original time (the re-zero line 44 is commented
+    out); sort by ts; at the final snapshot T keep edges with both
+    endpoints in the train-node set (timestamp < T-1); idx = 1..N; zero
+    node/edge features at dim 172 (lines 55-92)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_enron_fixture import synth_events
+
+    from rag4dyg_tpu.data.preprocess import write_timestep_artifacts
+
+    events = synth_events(n_nodes=60, n_events=800, n_windows=8, seed=3)
+    params = PREPROCESS_PARAMS["enron"]
+    sliced = slice_events(events, params)
+    T = int(sliced["timestamp"].max())
+
+    # --- transliteration oracle (data_trans.py) over the undirected
+    # export: each sliced link appears twice (u,i) then (i,u)
+    dup = pd.DataFrame({
+        "user_id": np.repeat(sliced["u"].to_numpy(), 2),
+        "item_id": np.repeat(sliced["i"].to_numpy(), 2),
+        "ori_time": np.repeat(sliced["ts"].to_numpy(), 2),
+        "timestamp": np.repeat(sliced["timestamp"].to_numpy(), 2),
+    })
+    dup.iloc[1::2, [0, 1]] = dup.iloc[1::2, [1, 0]].to_numpy()
+    data = dup.iloc[::2, :].copy()                      # line 33
+    data["label"] = 0
+    data["ts"] = data["ori_time"]                       # line 46: raw ts
+    data = data.sort_values(by="ts")
+    data = data[["user_id", "item_id", "ts", "label", "timestamp"]]
+    data.columns = ["u", "i", "ts", "label", "timestamp"]
+    cur = data[data["timestamp"] <= T]
+    train = cur[cur["timestamp"] < T - 1]
+    train_nodes = set(train["u"]).union(train["i"])
+    oracle = cur[cur["u"].isin(train_nodes) & cur["i"].isin(train_nodes)]
+    oracle = oracle.copy()
+    oracle["idx"] = range(1, len(oracle) + 1)
+    oracle.index = range(len(oracle))
+
+    table = make_timestep_table(sliced, T, params)
+    assert len(table) == len(oracle) > 0
+    for col in ("u", "i", "ts", "label", "timestamp", "idx"):
+        np.testing.assert_array_equal(table[col].to_numpy(),
+                                      oracle[col].to_numpy(), err_msg=col)
+    # raw-ts quirk really held (fixture times don't start at 0)
+    assert table["ts"].min() > 0
+
+    # artifact contract (data_trans.py:84-92): zero features at dim 172
+    write_timestep_artifacts(table, str(tmp_path), "enron")
+    node_feat = np.load(tmp_path / "ml_enron_node.npy")
+    edge_feat = np.load(tmp_path / "ml_enron.npy")
+    n_nodes = len(set(table["u"]).union(table["i"]))
+    assert node_feat.shape == (n_nodes, 172) and not node_feat.any()
+    assert edge_feat.shape == (len(table), 172) and not edge_feat.any()
+    roundtrip = pd.read_csv(tmp_path / "ml_enron.csv", index_col=0)
+    np.testing.assert_array_equal(roundtrip["idx"], table["idx"])
