@@ -100,6 +100,30 @@ class CausalSelfAttention(nn.Module):
                                               (0, 0, idx, 0))
             keys, values = ck, cv
             new_cache_kv = (ck, cv)
+            # fused prefill: an L>1 call with a cache is the decode
+            # PREFILL (ops/decode.py populates a fresh cache at index 0,
+            # the only L>1-with-cache caller), where causal masking
+            # confines attention to the L just-inserted positions — so
+            # the [L, L] self-attention runs through the flash kernel
+            # with the left-pad prefix of cache_valid as a per-row
+            # key-skip count, and only the cache update above touches
+            # the pre-sized [B, H, T, Dh] buffers. Deterministic-only
+            # (decode always is): keeps eval numerics free of the
+            # kernel's alternative dropout stream.
+            if (cfg.attention_impl == "flash" and L > 1 and deterministic
+                    and L <= 1024):
+                from rag4dyg_tpu.ops.flash_attention import flash_attention
+                skip = (jnp.zeros((B,), jnp.int32) if cache_valid is None
+                        else L - jnp.sum(cache_valid[:, :L], axis=1,
+                                         dtype=jnp.int32))
+                y = flash_attention(q, k, v, scale=1.0 / np.sqrt(Dh),
+                                    key_skip=skip).astype(x.dtype)
+                y = y.transpose(0, 2, 1, 3).reshape(B, L, D)
+                y = nn.Dense(D, kernel_init=_dense_init(cfg),
+                             name="c_proj", dtype=x.dtype)(y)
+                y = nn.Dropout(cfg.resid_pdrop)(y,
+                                                deterministic=deterministic)
+                return y, new_cache_kv
             key_pos = jnp.arange(T)[None, :]                 # [1,T]
             query_pos = idx + jnp.arange(L)[:, None]         # [L,1]
             causal = key_pos <= query_pos                    # [L,T] (bcast)

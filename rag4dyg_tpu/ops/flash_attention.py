@@ -70,8 +70,8 @@ def _keep_mask(seed, cell, shape, rate: float):
     ~7 integer ops/element in VMEM vs threefry's ~100+ through HBM.
 
     ``cell`` is the GLOBAL (batch, head) cell id. The kernels read it as
-    ``cell_ref[pl.program_id(0), 0]`` — the program id is only ever used
-    to index the globally-numbered ``cells`` array, which is co-sharded
+    ``meta_ref[pl.program_id(0), 0]`` — the program id is only ever used
+    to index the globally-numbered ``meta`` array, which is co-sharded
     with q/k/v, so each shard's grid steps still see their own global
     ids. (Bare program ids restart at 0 on every device under GSPMD
     partitioning, so a pid-based stream itself would repeat the same
@@ -95,27 +95,37 @@ def _keep_mask(seed, cell, shape, rate: float):
     return x >= cutoff
 
 
-def _softmax_fwd(q, k, scale: float, L: int):
-    """Masked safe-softmax scores for one (b, h) tile. Returns f32 [L, L]."""
+def _softmax_fwd(q, k, scale: float, L: int, skip):
+    """Masked safe-softmax scores for one (b, h) tile. Returns f32 [L, L].
+
+    ``skip``: scalar int32 — keys with column < skip are masked out in
+    addition to the causal mask. Left-pad decode batching (ops/decode.py
+    ``left_pad_batch``, generator ``splice_prefill``) always produces
+    prefix-form padding, so one count per row replaces the XLA path's
+    full [B, L] boolean pad mask. skip=0 == the pure-causal shape.
+    All-masked rows (row < skip, i.e. pad queries) come out uniform —
+    finite garbage, same as the XLA path's all-NEG_INF rows; callers
+    ignore pad positions."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col <= row, s, NEG_INF)
+    s = jnp.where(jnp.logical_and(col <= row, col >= skip), s, NEG_INF)
     s = s - jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=1, keepdims=True)
 
 
-def _flash_fwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, o_ref, *,
+def _flash_fwd_kernel(seed_ref, meta_ref, q_ref, k_ref, v_ref, o_ref, *,
                       scale: float, rate: float, L: int):
-    p = _softmax_fwd(q_ref[:], k_ref[:], scale, L)
+    # meta_ref holds the whole [BH, 2] (global cell id, key skip) array
+    # (Mosaic rejects sub-(8,128) SMEM blocks unless block dims == array
+    # dims); pick this grid step's row dynamically
+    p = _softmax_fwd(q_ref[:], k_ref[:], scale, L,
+                     meta_ref[pl.program_id(0), 1])
     if rate > 0.0:
-        # cell_ref holds the whole [BH, 1] id array (Mosaic rejects
-        # sub-(8,128) SMEM blocks unless block dims == array dims);
-        # pick this grid step's global (b, h) id dynamically
-        keep = _keep_mask(seed_ref[0, 0], cell_ref[pl.program_id(0), 0],
+        keep = _keep_mask(seed_ref[0, 0], meta_ref[pl.program_id(0), 0],
                           p.shape, rate)
         p = jnp.where(keep, p, 0.0) / (1.0 - rate)
     # probabilities are cast to the input dtype for the @v MXU pass —
@@ -127,14 +137,15 @@ def _flash_fwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, o_ref, *,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _flash_bwd_kernel(seed_ref, cell_ref, q_ref, k_ref, v_ref, do_ref,
+def _flash_bwd_kernel(seed_ref, meta_ref, q_ref, k_ref, v_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, *,
                       scale: float, rate: float, L: int):
     q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
-    p = _softmax_fwd(q, k, scale, L)                       # [L, L] f32
+    p = _softmax_fwd(q, k, scale, L,
+                     meta_ref[pl.program_id(0), 1])       # [L, L] f32
     if rate > 0.0:
         # identical hash inputs as forward -> identical mask
-        keep = _keep_mask(seed_ref[0, 0], cell_ref[pl.program_id(0), 0],
+        keep = _keep_mask(seed_ref[0, 0], meta_ref[pl.program_id(0), 0],
                           p.shape, rate)
         inv = 1.0 / (1.0 - rate)
         pd = jnp.where(keep, p, 0.0) * inv
@@ -172,17 +183,18 @@ _SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0),
                           memory_space=pltpu.SMEM)
 
 
-def _cell_spec(bh: int):
-    """Global (b, h) id array, whole-array SMEM block. Mosaic's TPU
-    lowering requires block dims divisible by (8, 128) or EQUAL to the
-    array dims — a per-step (1, 1) block over [BH, 1] is rejected on
-    real hardware (though CPU interpret mode accepts it), so every grid
-    step maps the full [BH, 1] array and indexes it by pl.program_id."""
-    return pl.BlockSpec((bh, 1), lambda i: (0, 0),
+def _meta_spec(bh: int):
+    """Per-cell (global (b, h) id, key-skip count) array, whole-array
+    SMEM block. Mosaic's TPU lowering requires block dims divisible by
+    (8, 128) or EQUAL to the array dims — a per-step (1, 1) block over
+    [BH, 1] is rejected on real hardware (though CPU interpret mode
+    accepts it), so every grid step maps the full [BH, 2] array and
+    indexes it by pl.program_id."""
+    return pl.BlockSpec((bh, 2), lambda i: (0, 0),
                         memory_space=pltpu.SMEM)
 
 
-def _fwd_call(seed, cells, q3, k3, v3, *, scale: float, rate: float,
+def _fwd_call(seed, meta, q3, k3, v3, *, scale: float, rate: float,
               interpret: bool):
     BH, L, D = q3.shape
     kernel = functools.partial(_flash_fwd_kernel, scale=scale, rate=rate,
@@ -190,7 +202,7 @@ def _fwd_call(seed, cells, q3, k3, v3, *, scale: float, rate: float,
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[_SEED_SPEC, _cell_spec(BH)] + _tile_specs(3, L, D),
+        in_specs=[_SEED_SPEC, _meta_spec(BH)] + _tile_specs(3, L, D),
         out_specs=pl.BlockSpec((None, L, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
@@ -198,10 +210,10 @@ def _fwd_call(seed, cells, q3, k3, v3, *, scale: float, rate: float,
             flops=4 * BH * L * L * D, transcendentals=BH * L * L,
             bytes_accessed=q3.dtype.itemsize * 4 * BH * L * D),
         interpret=interpret,
-    )(seed, cells, q3, k3, v3)
+    )(seed, meta, q3, k3, v3)
 
 
-def _bwd_call(seed, cells, q3, k3, v3, do3, *, scale: float, rate: float,
+def _bwd_call(seed, meta, q3, k3, v3, do3, *, scale: float, rate: float,
               interpret: bool):
     BH, L, D = q3.shape
     kernel = functools.partial(_flash_bwd_kernel, scale=scale, rate=rate,
@@ -210,14 +222,14 @@ def _bwd_call(seed, cells, q3, k3, v3, do3, *, scale: float, rate: float,
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[_SEED_SPEC, _cell_spec(BH)] + _tile_specs(4, L, D),
+        in_specs=[_SEED_SPEC, _meta_spec(BH)] + _tile_specs(4, L, D),
         out_specs=_tile_specs(3, L, D),
         out_shape=[shp, shp, shp],
         cost_estimate=pl.CostEstimate(
             flops=10 * BH * L * L * D, transcendentals=BH * L * L,
             bytes_accessed=q3.dtype.itemsize * 7 * BH * L * D),
         interpret=interpret,
-    )(seed, cells, q3, k3, v3, do3)
+    )(seed, meta, q3, k3, v3, do3)
 
 
 # --- GSPMD partitioning -----------------------------------------------------
@@ -316,6 +328,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     scale: Optional[float] = None,
                     dropout_rate: float = 0.0,
                     dropout_seed: Optional[jnp.ndarray] = None,
+                    key_skip: Optional[jnp.ndarray] = None,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Causal attention over [B, H, L, Dh] with optional attention-matrix
     dropout. Differentiable (custom flash VJP). Pads L and Dh to 128
@@ -323,6 +336,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     ``dropout_seed``: int32 scalar (array or python int) that decorrelates
     calls; required when ``dropout_rate > 0``.
+
+    ``key_skip``: optional [B] int32 — per row, the number of LEADING
+    (left-pad) positions masked out as keys, on top of the causal mask.
+    This is the prefix form every left-padded batch in this codebase has
+    (ops/decode.py left_pad_batch, train/generator.py splice_prefill);
+    outputs at pad-query rows are finite garbage callers must ignore,
+    exactly like the XLA path's fully-masked rows.
     """
     B, H, L, Dh = q.shape
     if L > MAX_FLASH_LEN:
@@ -347,8 +367,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     ).reshape(1, 1)
-    cells = jnp.arange(B * H, dtype=jnp.int32).reshape(B * H, 1)
-    out = _flash_core(q3, k3, v3, seed, cells, scale,
+    cell_ids = jnp.arange(B * H, dtype=jnp.int32)
+    skips = (jnp.zeros(B, jnp.int32) if key_skip is None
+             else jnp.asarray(key_skip, jnp.int32))
+    # broadcast (not jnp.repeat: its cumsum lowering drags a collective
+    # into otherwise batch-sharded callers) per-row skip over heads
+    skips_bh = jnp.broadcast_to(skips[:, None], (B, H)).reshape(B * H)
+    meta = jnp.stack([cell_ids, skips_bh], axis=1)           # [BH, 2]
+    out = _flash_core(q3, k3, v3, seed, meta, scale,
                       float(dropout_rate), interpret)
     out = out.reshape(B, H, Lp, Dp)
     if Lp != L or Dp != Dh:

@@ -253,3 +253,57 @@ def test_sharded_dropout_partitioning_invariant():
     g_single = jax.grad(loss, argnums=0)(q, k, v)
     np.testing.assert_allclose(np.asarray(g_asym), np.asarray(g_single),
                                atol=5e-5, rtol=1e-4)
+
+
+def _masked_reference(q, k, v, skip, *, scale=None):
+    """Oracle: causal + left-pad-prefix key mask, XLA attention math."""
+    from rag4dyg_tpu.ops.flash_attention import NEG_INF
+    Dh = q.shape[-1]
+    scale = float(scale if scale is not None else 1.0 / np.sqrt(Dh))
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                     preferred_element_type=jnp.float32) * scale
+    L = q.shape[2]
+    causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+    keymask = (jnp.arange(L)[None, :] >= skip[:, None])[:, None, None, :]
+    att = jnp.where(jnp.logical_and(causal, keymask), att, NEG_INF)
+    att = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", att,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+def test_key_skip_matches_masked_reference():
+    """key_skip (left-pad prefix masking, the decode-prefill shape) must
+    match the XLA-math oracle at real query rows, fwd AND grad."""
+    B, H, L, Dh = 3, 2, 64, 32
+    q, k, v = _qkv(11, B, H, L, Dh)
+    skip = jnp.asarray([0, 5, 63], jnp.int32)
+    out = flash_attention(q, k, v, key_skip=skip)
+    ref = _masked_reference(q, k, v, skip)
+    # compare only real query rows (pad-query rows are documented garbage
+    # on both paths, with different uniform conventions)
+    real = (jnp.arange(L)[None, :] >= skip[:, None])[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(out * real),
+                               np.asarray(ref * real), atol=2e-5, rtol=1e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum((flash_attention(q, k, v, key_skip=skip) * real) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_masked_reference(q, k, v, skip) * real) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_key_skip_zero_is_pure_causal():
+    """skip=0 everywhere must be bit-identical to the no-mask call —
+    the certified retriever path is unchanged by the meta extension."""
+    B, H, L, Dh = 2, 2, 128, 64
+    q, k, v = _qkv(13, B, H, L, Dh)
+    base = flash_attention(q, k, v, dropout_rate=0.3, dropout_seed=9)
+    skip0 = flash_attention(q, k, v, dropout_rate=0.3, dropout_seed=9,
+                            key_skip=jnp.zeros(B, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(skip0))

@@ -131,3 +131,51 @@ def test_dropout_active_in_training(model_and_params):
     l2, _, _ = model.apply({"params": params}, ids, deterministic=False,
                            rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_flash_prefill_matches_xla_cache_path():
+    """attention_impl=flash routes the L>1 cache PREFILL through the
+    pallas kernel with cache_valid's left-pad prefix as a key-skip
+    count; logits at real positions and the updated cache must match the
+    XLA cache path (interpret-mode kernel on CPU)."""
+    import dataclasses
+
+    cfg_flash = dataclasses.replace(CFG, attention_impl="flash")
+    model_x = GPT2LMModel(CFG)
+    model_f = GPT2LMModel(cfg_flash)
+    params = init_params(CFG, jax.random.PRNGKey(1))
+
+    seqs = [list(range(1, 10)), list(range(3, 7))]
+    ids, mask, pos = left_pad_batch(seqs, pad_id=0, multiple_of=4)
+    args = (jnp.asarray(ids),)
+    kw = dict(pad_mask=jnp.asarray(mask), position_ids=jnp.asarray(pos))
+
+    lx, _, cx = model_x.apply({"params": params}, *args,
+                              cache=init_cache(CFG, 2, 16), **kw)
+    lf, _, cf = model_f.apply({"params": params}, *args,
+                              cache=init_cache(cfg_flash, 2, 16), **kw)
+    # logits at REAL positions (pad rows are garbage on both paths)
+    for b, seq in enumerate(seqs):
+        np.testing.assert_allclose(np.asarray(lf[b, -len(seq):]),
+                                   np.asarray(lx[b, -len(seq):]),
+                                   atol=2e-4)
+    # the flash branch must still have produced the identical kv cache at
+    # VALID slots (invalid-slot k/v at layers >= 2 are path-dependent
+    # garbage — pad-position hidden states differ between the two paths'
+    # fully-masked softmax conventions — and stay masked by cache_valid)
+    np.testing.assert_allclose(np.asarray(cf["valid"]),
+                               np.asarray(cx["valid"]))
+    vmask = np.asarray(cx["valid"])[None, :, None, :, None]  # [1,B,1,T,1]
+    np.testing.assert_allclose(np.asarray(cf["k"]) * vmask,
+                               np.asarray(cx["k"]) * vmask, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf["v"]) * vmask,
+                               np.asarray(cx["v"]) * vmask, atol=1e-5)
+
+    # end-to-end: greedy decode streams must agree token-for-token
+    tok_x, len_x = greedy_decode(model_x, params, seqs, eos_id=63,
+                                 pad_id=0, caps=[6, 6], max_steps=6)
+    tok_f, len_f = greedy_decode(model_f, params, seqs, eos_id=63,
+                                 pad_id=0, caps=[6, 6], max_steps=6)
+    np.testing.assert_array_equal(len_x, len_f)
+    for a, b in zip(tok_x, tok_f):
+        np.testing.assert_array_equal(a, b)
