@@ -100,6 +100,35 @@ def bench_jaccard(jax, n_queries: int, n_rows: int, vocab: int, mesh=None,
     return dt
 
 
+def bench_gen_rank(jax, pool_rows: int, queries: int = 512, mesh=None):
+    """Seconds for the full `.gen` eval ranking at [queries, pool_rows]:
+    on-device stable descending rank (DenseIndex.rank_full) + int32
+    index download — the path that replaced the host argsort over a
+    downloaded [Q, N] f32 score matrix (VERDICT r2 #4; at 100k rows the
+    f32 download alone was ~2.4 GB through the 3-6 MB/s relay).
+    Corner-verified against the canonical stable descending tie order
+    (np.argsort(-scores, kind='stable') — what topk_reference uses)."""
+    import numpy as np
+
+    from rag4dyg_tpu.pool.index import DenseIndex
+
+    rng = np.random.RandomState(2)
+    pool = rng.randn(pool_rows, DIM).astype(np.float32)
+    q = rng.randn(queries, DIM).astype(np.float32)
+    idx = DenseIndex(pool, mesh=mesh, use_pallas=(mesh is None))
+    qd = jax.device_put(q)
+    jax.block_until_ready(qd)
+    t0 = time.perf_counter()
+    ranks = np.asarray(idx.rank_full(qd))           # [Q, N] int32 download
+    dt = time.perf_counter() - t0
+    # canonical-tie-order corner check vs the reference scorer semantics
+    s_corner = np.asarray(idx.score(qd[:8]))
+    ref_idx = np.argsort(-s_corner, axis=1, kind="stable")[:, :64]
+    assert np.array_equal(ranks[:8, :ref_idx.shape[1]], ref_idx), \
+        "rank_full corner != stable descending tie order"
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["chip", "mesh"], required=True)
@@ -107,6 +136,7 @@ def main():
     ap.add_argument("--synthetic-queries", type=int, default=None)
     ap.add_argument("--synthetic-vocab", type=int, default=None)
     ap.add_argument("--skip-jaccard-synthetic", action="store_true")
+    ap.add_argument("--skip-gen-rank", action="store_true")
     ap.add_argument("--skip-reddit", action="store_true")
     args = ap.parse_args()
     # mesh mode runs on 8 virtual CPU devices of ONE core: shapes shrink
@@ -167,6 +197,13 @@ def main():
     progress("synth_rows", args.synthetic_rows)
     progress("synth_topk_qps", round(
         bench_topk(jax, args.synthetic_rows, mesh=mesh), 1))
+    if not args.skip_gen_rank and mesh is None:
+        # single-device only: rank_full of a mesh-sharded pool is
+        # intentionally unsupported (emit a top-k .gen instead)
+        q_rank = 512 if args.mode == "chip" else 64
+        progress("synth_gen_rank_queries", q_rank)
+        progress("synth_gen_rank_seconds", round(
+            bench_gen_rank(jax, args.synthetic_rows, queries=q_rank), 2))
     if not args.skip_jaccard_synthetic:
         progress("synth_jaccard_queries", args.synthetic_queries)
         progress("synth_jaccard_seconds", round(
