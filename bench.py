@@ -87,7 +87,35 @@ def bench_reference(pool: np.ndarray, queries: np.ndarray) -> float:
     return QUERIES / dt
 
 
+def _require_live_backend(timeout_s: int = 120):
+    """Fail fast with a parseable JSON line when the TPU relay is down.
+
+    jax.devices() blocks INSIDE native grpc against a dead tunnel
+    (observed during the round-3 relay outage) where in-process signal
+    handlers never fire, so the probe runs in a subprocess with a hard
+    timeout; on failure the driver records a clean JSON error line
+    instead of hanging."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) >= 1"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except Exception as e:  # noqa: BLE001 — report, don't hang
+        print(json.dumps({
+            "metric": "retrieval_query_throughput",
+            "value": 0.0,
+            "unit": "queries/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {type(e).__name__}",
+        }))
+        raise SystemExit(1)
+
+
 def main():
+    _require_live_backend()
     _enable_compile_cache()
     rng = np.random.RandomState(0)
     pool = rng.randn(POOL, DIM).astype(np.float32)
