@@ -457,6 +457,14 @@ def main(argv=None):
                         help="node feature .npy for wte init")
         sp.add_argument("--smoke", action="store_true",
                         help="tiny-dims capped-steps end-to-end smoke run")
+        sp.add_argument("--platform", default=None,
+                        choices=["cpu", "axon"],
+                        help="force the JAX backend (sitecustomize pins "
+                             "jax_platforms=axon,cpu, which overrides the "
+                             "JAX_PLATFORMS env var — this flag re-updates "
+                             "jax.config before any backend use; use "
+                             "'--platform cpu' to smoke-test while the TPU "
+                             "relay is down)")
 
     common(sub.add_parser("prepare"), csv=True)
     common(sub.add_parser("annotate"))
@@ -499,6 +507,9 @@ def main(argv=None):
                     help="comma-separated seed list (reference sweep set)")
 
     args = p.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if getattr(args, "resources", "") is None:
         args.resources = (os.path.join(args.out, "resources")
                           if getattr(args, "out", None) else "resources")
