@@ -1,0 +1,198 @@
+#!/bin/bash
+# Round-3 chunk 7: cheap-first reordering of everything left after
+# r3q5's reddit sweep + UCI backbone point. Rationale: r3q5's file order
+# (UCI sweep -> dialog chain -> hepth backbone -> scale-pool -> wikiv2)
+# would deadline-cut the cheap, high-value tail. This queue runs the
+# remaining items cheapest/highest-value first so the 12:40 UTC guard
+# cuts from the bottom:
+#   1. hepth backbone artifact restore            (~3 min)
+#   2. 100k-pool on-chip .gen-rank measurement    (~15 min; VERDICT r2 #4)
+#   3. UCI backbone rebuild                       (~20 min; feeds 4+5)
+#   4. UCI MLP fusion at FULL reference scale     (~10 min; VERDICT r2 weak #3)
+#   5. UCI generator sweep seeds 42,0..3          (per-seed, ~7 min each)
+#   6. dialog chain + sweep seeds 6,7,8           (completes dialog at n=10)
+#   7. UCI generator sweep seeds 4..8             (completes UCI at n=10)
+#   8. enron fixture chain at full config + seeds 1,2,3
+#   9. wikiv2 chain replay + sweep seeds 4..8 + true-50-epoch retriever
+# Supervision framework identical to r3q5.sh (relay-probe before start,
+# loopback-traffic watchdog while running, deterministic re-runs).
+# Launched by r3q7_watch.sh, which preempts r3q5 at its uci-backbone
+# stage (all commands here are verbatim from r3q5.sh/r3q6.sh).
+set -x
+cd /root/repo
+LOG=/tmp/r3q7
+mkdir -p $LOG
+
+DEADLINE=$(date -u -d '2026-08-19 12:40' +%s)
+left() { echo $(( DEADLINE - $(date -u +%s) )); }
+
+probe() {
+  timeout 90 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+assert float((x @ x).sum()) == 128.0 * 128 * 128
+" > /dev/null 2>&1
+}
+
+wait_relay() {
+  while [ "$(left)" -gt 600 ]; do
+    if probe; then echo "RELAY UP $(date -u +%H:%M:%S)"; return 0; fi
+    echo "relay down $(date -u +%H:%M:%S); sleeping 120"
+    sleep 120
+  done
+  return 1
+}
+
+log_age() {
+  [ -f "$1" ] || { echo 0; return; }
+  echo $(( $(date +%s) - $(stat -c %Y "$1") ))
+}
+
+lo_bytes() { awk '/lo:/ {print $2}' /proc/net/dev; }
+
+run() {
+  name=$1; logf=$2; shift 2
+  fails=0
+  while true; do
+    if [ "$(left)" -le 600 ]; then echo "SKIP $name: past deadline"; return 1; fi
+    wait_relay || { echo "SKIP $name: deadline while relay down"; return 1; }
+    echo "=== $(date -u +%H:%M:%S) $name (budget $(left)s) ==="
+    "$@" >> "$logf" 2>&1 &
+    JOB=$!
+    quiet=0
+    last_lo=$(lo_bytes)
+    while kill -0 $JOB 2>/dev/null; do
+      sleep 60
+      now_lo=$(lo_bytes)
+      if [ "$now_lo" -ne "$last_lo" ]; then quiet=0; else quiet=$((quiet+1)); fi
+      last_lo=$now_lo
+      age=$(log_age "$logf")
+      if [ "$quiet" -ge 10 ] && [ "$age" -gt 300 ]; then
+        echo "WATCHDOG $name: ${quiet}min zero lo traffic, log stale ${age}s — kill + rerun"
+        kill $JOB 2>/dev/null; sleep 5; kill -9 $JOB 2>/dev/null
+        break
+      fi
+      if [ "$(left)" -le 0 ]; then
+        echo "DEADLINE $name: killing"
+        kill $JOB 2>/dev/null; sleep 5; kill -9 $JOB 2>/dev/null
+        return 1
+      fi
+    done
+    wait $JOB; rc=$?
+    echo "$name rc=$rc"
+    [ $rc -eq 0 ] && return 0
+    if [ $rc -ne 143 ] && [ $rc -ne 137 ]; then
+      fails=$((fails + 1))
+      if [ "$fails" -ge 3 ]; then echo "GIVEUP $name after $fails real fails"; return 1; fi
+    fi
+  done
+}
+
+# --- 1. hepth backbone artifact restore (sweep already complete) --------
+run hepth-backbone $LOG/hepth_backbone.log \
+    python -m rag4dyg_tpu.cli train-backbone --dataset hepth \
+    --resources runs/hepth/resources --out runs/hepth/backbone_r2b \
+    --node-features /root/reference/resources/hepth/node_features.npy
+
+# --- 2. 100k-pool .gen-ranking measurement on chip (VERDICT r2 #4) ------
+run scale-pool $LOG/scale_pool_r3.log \
+    python benchmarks/scale_pool.py --mode chip --skip-reddit \
+    --skip-jaccard-synthetic
+
+# --- 3. UCI backbone rebuild --------------------------------------------
+run uci-backbone $LOG/uci_backbone.log \
+    python -m rag4dyg_tpu.cli train-backbone --dataset UCI_13 \
+    --resources runs/uci_masked/resources --out runs/uci_masked/backbone_r2b
+
+# --- 4. MLP fusion at full UCI scale (VERDICT r2 weak #3) ---------------
+run uci-mlp-generator $LOG/uci_mlp.log \
+    python -m rag4dyg_tpu.cli train-generator --dataset UCI_13 \
+    --resources runs/uci_masked/resources --out runs/uci_masked/generator_mlp_r3 \
+    --backbone runs/uci_masked/backbone_r2b/checkpoint-best \
+    --fusion mlp
+
+# --- 5. UCI generator sweep, first five seeds (per-seed invocations) ----
+for S in 42 0 1 2 3; do
+  run uci-gen-$S $LOG/uci_sweep.log \
+      python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset UCI_13 --seeds $S \
+      --resources runs/uci_masked/resources --out runs/uci_masked/sweep_generator_r3 \
+      --backbone runs/uci_masked/backbone_r2b/checkpoint-best
+done
+
+# --- 6. dialog chain + remaining 3 seeds (completes dialog at n=10) -----
+run dialog-annotate $LOG/dialog_annotate.log \
+    python -m rag4dyg_tpu.cli annotate --dataset dialog \
+    --resources runs/dialog/resources
+git diff --stat runs/dialog/resources/train_generator > $LOG/dialog_annotate_diff.txt 2>&1
+
+run dialog-backbone $LOG/dialog_backbone.log \
+    python -m rag4dyg_tpu.cli train-backbone --dataset dialog \
+    --resources runs/dialog/resources --out runs/dialog/backbone_r2b
+
+run dialog-retriever $LOG/dialog_retriever.log \
+    python -m rag4dyg_tpu.cli train-retriever --dataset dialog \
+    --resources runs/dialog/resources --out runs/dialog/retriever_r2b \
+    --backbone runs/dialog/backbone_r2b/checkpoint-best
+
+for S in 6 7 8; do
+  run dialog-gen-$S $LOG/dialog_sweep.log \
+      python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset dialog --seeds $S \
+      --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
+      --backbone runs/dialog/backbone_r2b/checkpoint-best
+done
+
+# --- 7. UCI generator sweep, last five seeds (completes UCI at n=10) ----
+for S in 4 5 6 7 8; do
+  run uci-gen-$S $LOG/uci_sweep.log \
+      python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset UCI_13 --seeds $S \
+      --resources runs/uci_masked/resources --out runs/uci_masked/sweep_generator_r3 \
+      --backbone runs/uci_masked/backbone_r2b/checkpoint-best
+done
+
+# --- 8. enron fixture chain, full config --------------------------------
+run enron-pipeline $LOG/enron_pipeline.log \
+    python -m rag4dyg_tpu.cli pipeline --dataset enron \
+    --csv runs/enron_fixture/ml_enron.csv --out runs/enron_full
+
+for S in 1 2 3; do
+  run enron-gen-$S $LOG/enron_sweep.log \
+      python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset enron --seeds $S \
+      --resources runs/enron_full/resources --out runs/enron_full/sweep_generator \
+      --backbone runs/enron_full/backbone/checkpoint-best
+done
+
+# --- 9. wikiv2 chain replay + sweep tail + true-50-epoch retriever ------
+run wikiv2-annotate $LOG/wikiv2_annotate.log \
+    python -m rag4dyg_tpu.cli annotate --dataset wikiv2 \
+    --resources runs/wikiv2/resources
+git diff --stat runs/wikiv2/resources/train_generator > $LOG/wikiv2_annotate_diff.txt 2>&1
+
+run wikiv2-backbone $LOG/wikiv2_backbone.log \
+    python -m rag4dyg_tpu.cli train-backbone --dataset wikiv2 \
+    --resources runs/wikiv2/resources --out runs/wikiv2/backbone_r2b
+
+run wikiv2-retriever $LOG/wikiv2_retriever.log \
+    python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
+    --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
+    --epochs 6 --dtype bfloat16 --attention-impl flash
+
+for S in 4 5 6 7 8; do
+  run wikiv2-gen-$S $LOG/wikiv2_sweep.log \
+      python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset wikiv2 --seeds $S \
+      --resources runs/wikiv2/resources --out runs/wikiv2/sweep_generator_r2 \
+      --backbone runs/wikiv2/backbone_r2b/checkpoint-best
+done
+
+run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
+    python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
+    --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
+    --dtype bfloat16 --attention-impl flash
+
+echo "R3Q7 DONE $(date -u)"
