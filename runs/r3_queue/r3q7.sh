@@ -23,8 +23,16 @@ cd /root/repo
 LOG=/tmp/r3q7
 mkdir -p $LOG
 
-DEADLINE=$(date -u -d '2026-08-19 12:40' +%s)
-left() { echo $(( DEADLINE - $(date -u +%s) )); }
+# Deadline is read from a file on every check so a live session can
+# extend it without relaunching the queue (driver restarts within the
+# round reset the 12h wall-clock guess — see queue-supervision memory).
+DEADLINE_FILE=/root/repo/runs/r3_queue/DEADLINE_UTC
+left() {
+  local d
+  d=$(cat "$DEADLINE_FILE" 2>/dev/null) || d='2026-08-19 12:40'
+  [ -n "$d" ] || d='2026-08-19 12:40'
+  echo $(( $(date -u -d "$d" +%s) - $(date -u +%s) ))
+}
 
 probe() {
   timeout 90 python -c "
