@@ -96,11 +96,27 @@ run() {
   done
 }
 
+commit_stage() {  # durably commit stage artifacts (runs/ is gitignored;
+  # a driver kill between manual commits would lose them — ROUND3.md
+  # durability policy). Retries on index-lock contention with a live
+  # session's manual commits.
+  local msg=$1 i
+  bash runs/commit_artifacts.sh > /dev/null 2>&1
+  for i in 1 2 3; do
+    if git diff --cached --quiet; then return 0; fi
+    git commit -q -m "$msg" && return 0
+    sleep 10
+    bash runs/commit_artifacts.sh > /dev/null 2>&1
+  done
+  echo "commit_stage FAILED: $msg"
+}
+
 # --- 1. hepth backbone artifact restore (sweep already complete) --------
 run hepth-backbone $LOG/hepth_backbone.log \
     python -m rag4dyg_tpu.cli train-backbone --dataset hepth \
     --resources runs/hepth/resources --out runs/hepth/backbone_r2b \
     --node-features /root/reference/resources/hepth/node_features.npy
+commit_stage "Restore hepth backbone_r2b checkpoint (deterministic replay)"
 
 # --- 2. 100k-pool .gen-ranking measurement on chip (VERDICT r2 #4) ------
 run scale-pool $LOG/scale_pool_r3.log \
@@ -111,6 +127,7 @@ run scale-pool $LOG/scale_pool_r3.log \
 run uci-backbone $LOG/uci_backbone.log \
     python -m rag4dyg_tpu.cli train-backbone --dataset UCI_13 \
     --resources runs/uci_masked/resources --out runs/uci_masked/backbone_r2b
+commit_stage "Restore UCI backbone_r2b checkpoint (deterministic replay)"
 
 # --- 4. MLP fusion at full UCI scale (VERDICT r2 weak #3) ---------------
 run uci-mlp-generator $LOG/uci_mlp.log \
@@ -118,6 +135,7 @@ run uci-mlp-generator $LOG/uci_mlp.log \
     --resources runs/uci_masked/resources --out runs/uci_masked/generator_mlp_r3 \
     --backbone runs/uci_masked/backbone_r2b/checkpoint-best \
     --fusion mlp
+commit_stage "MLP fusion generator at full UCI scale"
 
 # --- 5. UCI generator sweep, first five seeds (per-seed invocations) ----
 for S in 42 0 1 2 3; do
@@ -126,6 +144,7 @@ for S in 42 0 1 2 3; do
       --dataset UCI_13 --seeds $S \
       --resources runs/uci_masked/resources --out runs/uci_masked/sweep_generator_r3 \
       --backbone runs/uci_masked/backbone_r2b/checkpoint-best
+  commit_stage "UCI generator sweep seed $S (queue mid-sweep checkpoint)"
 done
 
 # --- 6. dialog chain + remaining 3 seeds (completes dialog at n=10) -----
@@ -142,6 +161,7 @@ run dialog-retriever $LOG/dialog_retriever.log \
     python -m rag4dyg_tpu.cli train-retriever --dataset dialog \
     --resources runs/dialog/resources --out runs/dialog/retriever_r2b \
     --backbone runs/dialog/backbone_r2b/checkpoint-best
+commit_stage "Restore dialog backbone/retriever checkpoints (deterministic replay)"
 
 for S in 6 7 8; do
   run dialog-gen-$S $LOG/dialog_sweep.log \
@@ -149,6 +169,7 @@ for S in 6 7 8; do
       --dataset dialog --seeds $S \
       --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
       --backbone runs/dialog/backbone_r2b/checkpoint-best
+  commit_stage "Dialog generator sweep seed $S (completes n=10)"
 done
 
 # --- 7. UCI generator sweep, last five seeds (completes UCI at n=10) ----
@@ -158,22 +179,14 @@ for S in 4 5 6 7 8; do
       --dataset UCI_13 --seeds $S \
       --resources runs/uci_masked/resources --out runs/uci_masked/sweep_generator_r3 \
       --backbone runs/uci_masked/backbone_r2b/checkpoint-best
+  commit_stage "UCI generator sweep seed $S (queue mid-sweep checkpoint)"
 done
 
-# --- 8. enron fixture chain, full config --------------------------------
-run enron-pipeline $LOG/enron_pipeline.log \
-    python -m rag4dyg_tpu.cli pipeline --dataset enron \
-    --csv runs/enron_fixture/ml_enron.csv --out runs/enron_full
-
-for S in 1 2 3; do
-  run enron-gen-$S $LOG/enron_sweep.log \
-      python -m rag4dyg_tpu.cli sweep --stage generator \
-      --dataset enron --seeds $S \
-      --resources runs/enron_full/resources --out runs/enron_full/sweep_generator \
-      --backbone runs/enron_full/backbone/checkpoint-best
-done
-
-# --- 9. wikiv2 chain replay + sweep tail + true-50-epoch retriever ------
+# --- 8. wikiv2 chain replay + sweep tail + true-50-epoch retriever ------
+# (moved AHEAD of the enron fixture chain: the 50-epoch cosine horizon
+# is a VERDICT r2 missing item; the enron fixture chain is synthetic-
+# data evidence. The 50-ep retriever runs right after the backbone so a
+# deadline cut costs sweep seeds, not the horizon run.)
 run wikiv2-annotate $LOG/wikiv2_annotate.log \
     python -m rag4dyg_tpu.cli annotate --dataset wikiv2 \
     --resources runs/wikiv2/resources
@@ -182,12 +195,14 @@ git diff --stat runs/wikiv2/resources/train_generator > $LOG/wikiv2_annotate_dif
 run wikiv2-backbone $LOG/wikiv2_backbone.log \
     python -m rag4dyg_tpu.cli train-backbone --dataset wikiv2 \
     --resources runs/wikiv2/resources --out runs/wikiv2/backbone_r2b
+commit_stage "Restore wikiv2 backbone_r2b checkpoint (deterministic replay)"
 
-run wikiv2-retriever $LOG/wikiv2_retriever.log \
+run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
     python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
-    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
     --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-    --epochs 6 --dtype bfloat16 --attention-impl flash
+    --dtype bfloat16 --attention-impl flash
+commit_stage "wikiv2 retriever at the true 50-epoch cosine horizon"
 
 for S in 4 5 6 7 8; do
   run wikiv2-gen-$S $LOG/wikiv2_sweep.log \
@@ -195,12 +210,30 @@ for S in 4 5 6 7 8; do
       --dataset wikiv2 --seeds $S \
       --resources runs/wikiv2/resources --out runs/wikiv2/sweep_generator_r2 \
       --backbone runs/wikiv2/backbone_r2b/checkpoint-best
+  commit_stage "wikiv2 generator sweep seed $S (toward n=10)"
 done
 
-run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
+# --- 9. enron fixture chain, full config --------------------------------
+run enron-pipeline $LOG/enron_pipeline.log \
+    python -m rag4dyg_tpu.cli pipeline --dataset enron \
+    --csv runs/enron_fixture/ml_enron.csv --out runs/enron_full
+commit_stage "enron fixture chain at full reference config"
+
+for S in 1 2 3; do
+  run enron-gen-$S $LOG/enron_sweep.log \
+      python -m rag4dyg_tpu.cli sweep --stage generator \
+      --dataset enron --seeds $S \
+      --resources runs/enron_full/resources --out runs/enron_full/sweep_generator \
+      --backbone runs/enron_full/backbone/checkpoint-best
+  commit_stage "enron generator sweep seed $S"
+done
+
+# --- 10. wikiv2 round-2 6-epoch retriever artifact restore (optional) ---
+run wikiv2-retriever $LOG/wikiv2_retriever.log \
     python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
-    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
     --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-    --dtype bfloat16 --attention-impl flash
+    --epochs 6 --dtype bfloat16 --attention-impl flash
+commit_stage "Restore wikiv2 retriever_r2b capped-horizon checkpoint (deterministic replay)"
 
 echo "R3Q7 DONE $(date -u)"
