@@ -183,10 +183,13 @@ for S in 4 5 6 7 8; do
 done
 
 # --- 8. wikiv2 chain replay + sweep tail + true-50-epoch retriever ------
-# (moved AHEAD of the enron fixture chain: the 50-epoch cosine horizon
-# is a VERDICT r2 missing item; the enron fixture chain is synthetic-
-# data evidence. The 50-ep retriever runs right after the backbone so a
-# deadline cut costs sweep seeds, not the horizon run.)
+# (AHEAD of the enron fixture chain: completing the n=10 sweep is a
+# VERDICT r2 missing item; the enron fixture chain is synthetic-data
+# evidence. ORDER MATTERS: the retriever stage writes its .gen files
+# into the SHARED resources/retrieval_result, so the round-2-replay
+# 6-epoch retriever must run BEFORE the sweep seeds — seeds 4..8 must
+# see the same retrieval inputs as round-2's committed seeds 42,0..3 —
+# and the 50-epoch horizon run goes LAST because it overwrites them.)
 run wikiv2-annotate $LOG/wikiv2_annotate.log \
     python -m rag4dyg_tpu.cli annotate --dataset wikiv2 \
     --resources runs/wikiv2/resources
@@ -197,12 +200,12 @@ run wikiv2-backbone $LOG/wikiv2_backbone.log \
     --resources runs/wikiv2/resources --out runs/wikiv2/backbone_r2b
 commit_stage "Restore wikiv2 backbone_r2b checkpoint (deterministic replay)"
 
-run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
+run wikiv2-retriever $LOG/wikiv2_retriever.log \
     python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
-    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
     --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-    --dtype bfloat16 --attention-impl flash
-commit_stage "wikiv2 retriever at the true 50-epoch cosine horizon"
+    --epochs 6 --dtype bfloat16 --attention-impl flash
+commit_stage "Restore wikiv2 retriever_r2b checkpoint + round-2 .gen files (deterministic replay)"
 
 for S in 4 5 6 7 8; do
   run wikiv2-gen-$S $LOG/wikiv2_sweep.log \
@@ -212,6 +215,13 @@ for S in 4 5 6 7 8; do
       --backbone runs/wikiv2/backbone_r2b/checkpoint-best
   commit_stage "wikiv2 generator sweep seed $S (toward n=10)"
 done
+
+run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
+    python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
+    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
+    --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
+    --dtype bfloat16 --attention-impl flash
+commit_stage "wikiv2 retriever at the true 50-epoch cosine horizon"
 
 # --- 9. enron fixture chain, full config --------------------------------
 run enron-pipeline $LOG/enron_pipeline.log \
@@ -227,13 +237,5 @@ for S in 1 2 3; do
       --backbone runs/enron_full/backbone/checkpoint-best
   commit_stage "enron generator sweep seed $S"
 done
-
-# --- 10. wikiv2 round-2 6-epoch retriever artifact restore (optional) ---
-run wikiv2-retriever $LOG/wikiv2_retriever.log \
-    python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
-    --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
-    --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-    --epochs 6 --dtype bfloat16 --attention-impl flash
-commit_stage "Restore wikiv2 retriever_r2b capped-horizon checkpoint (deterministic replay)"
 
 echo "R3Q7 DONE $(date -u)"
