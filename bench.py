@@ -99,9 +99,16 @@ def _require_live_backend(timeout_s: int = 120):
     import sys
 
     try:
+        # Assert the platform is NOT cpu: sitecustomize pins
+        # jax_platforms='axon,cpu', so a FAST axon init failure (port
+        # refusing connections, as opposed to the hang this probe
+        # bounds) silently falls back to CPU devices and a bare
+        # len(jax.devices()) check would false-pass — the recorded
+        # "queries/sec/chip" would actually be CPU throughput.
         subprocess.run(
             [sys.executable, "-c",
-             "import jax; assert len(jax.devices()) >= 1"],
+             "import jax; d = jax.devices(); assert d and "
+             "d[0].platform != 'cpu', d"],
             timeout=timeout_s, check=True, capture_output=True)
     except Exception as e:  # noqa: BLE001 — report, don't hang
         print(json.dumps({

@@ -112,6 +112,19 @@ class CausalSelfAttention(nn.Module):
             # kernel's alternative dropout stream.
             if (cfg.attention_impl == "flash" and L > 1 and deterministic
                     and L <= 1024):
+                # INVARIANT: this branch is only correct for a FRESH
+                # cache (idx == 0) — queries attend solely to the L
+                # just-inserted keys, so an L>1 apply at idx > 0
+                # (chunked prefill, re-prefill after a splice) would
+                # silently ignore every previously cached token. idx is
+                # traced under jit, so the check fires in eager use; the
+                # XLA path below handles idx > 0 correctly if a chunked
+                # prefill caller ever appears.
+                if not isinstance(idx, jax.core.Tracer) and int(idx) != 0:
+                    raise ValueError(
+                        "attention_impl='flash' does not support an L>1 "
+                        "apply on a partially-filled cache (cache index "
+                        f"{int(idx)}); use the XLA attention path")
                 from rag4dyg_tpu.ops.flash_attention import flash_attention
                 skip = (jnp.zeros((B,), jnp.int32) if cache_valid is None
                         else L - jnp.sum(cache_valid[:, :L], axis=1,

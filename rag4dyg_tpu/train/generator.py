@@ -42,7 +42,7 @@ import optax
 
 from rag4dyg_tpu.config import DatasetSpec, ModelConfig
 from rag4dyg_tpu.data.serialize import read_corpus_lines
-from rag4dyg_tpu.data.vocab import Tokenizer, pad_batch
+from rag4dyg_tpu.data.vocab import Tokenizer
 from rag4dyg_tpu.eval.evaluate import generation_eval
 from rag4dyg_tpu.models import GPT2LMModel, init_params
 from rag4dyg_tpu.models.fusion import (

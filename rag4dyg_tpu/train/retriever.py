@@ -634,9 +634,14 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         _, pred3 = index.topk(q_emb, 3)
         t2 = time.time()
         if write_best:
-            ranks = np.asarray(index.rank_full(q_emb))
+            # The score .gen file needs every pool-order score, so the
+            # [Q, N] f32 matrix must cross the relay regardless; the
+            # host stable argsort of those same scores is bit-identical
+            # to DenseIndex.rank_full (tests/test_eval_ranking.py), so
+            # downloading the [Q, N] int32 rank matrix too would double
+            # the dominant device->host transfer for nothing.
             scores = np.asarray(index.score(q_emb))
-            write_gen_files(scores, gen_out_dir, split, ranks=ranks)
+            write_gen_files(scores, gen_out_dir, split, ranks=None)
         out = hits_from_top3(pred3, gt3[split], batch_size=eval_batch_size)
         logger.info("eval[%s]: pool-embed %.0fs score+top3 %.0fs rest %.0fs",
                     split, t1 - t0, t2 - t1, time.time() - t2)

@@ -49,9 +49,15 @@ def main(sweep_dir, p_new=10, p_old=15):
         b_new, stop_new = simulate(trace, p_new)
         b_old, stop_old = simulate(trace, p_old)
         # a trace that never hit the OLD patience was cut externally
-        # (deadline kill) — flag it, its CSV row (if any) is unreliable
-        cut = stop_old == len(trace) - 1 and (
-            len(trace) - 1 - b_old) < p_old
+        # (deadline kill) — flag it, its CSV row (if any) is unreliable.
+        # EXCEPTION: a trace that legitimately ran to its epochs horizon
+        # (reference trainers stop at num_train_epochs regardless of
+        # patience) is a natural stop, not a cut — every committed
+        # generator horizon is 100 epochs, so only flag shorter traces.
+        HORIZON = 100
+        cut = (len(trace) < HORIZON
+               and stop_old == len(trace) - 1
+               and (len(trace) - 1 - b_old) < p_old)
         status = ("CUT" if cut else
                   "SAME" if b_new == b_old else "MOVES")
         if status != "SAME":

@@ -137,8 +137,10 @@ run uci-mlp-generator $LOG/uci_mlp.log \
     --fusion mlp
 commit_stage "MLP fusion generator at full UCI scale"
 
-# --- 5. UCI generator sweep, first five seeds (per-seed invocations) ----
-for S in 42 0 1 2 3; do
+# --- 5. UCI generator sweep, all ten seeds (per-seed invocations) -------
+# (contiguous: completing UCI at n=10 outranks starting the dialog
+# re-sweep — see section 6.)
+for S in 42 0 1 2 3 4 5 6 7 8; do
   run uci-gen-$S $LOG/uci_sweep.log \
       python -m rag4dyg_tpu.cli sweep --stage generator \
       --dataset UCI_13 --seeds $S \
@@ -147,7 +149,14 @@ for S in 42 0 1 2 3; do
   commit_stage "UCI generator sweep seed $S (queue mid-sweep checkpoint)"
 done
 
-# --- 6. dialog chain + remaining 3 seeds (completes dialog at n=10) -----
+# --- 6. dialog chain + FULL re-sweep at the corrected protocol ----------
+# Round-2's dialog sweep (sweep_generator_r2, seeds 42,0..5) trained at
+# batch_size 32; the committed reference launcher
+# (train_rag_graphpooling_dialog_seed.sh) sets batch_size=64, which the
+# registry now pins. The batch size changes steps/epoch and therefore
+# the LR schedule, so the old rows cannot be extended — the sweep
+# restarts in sweep_generator_r3 at batch 64 / patience 10, seeds
+# 42,0..8 (r4q1.sh completes whatever the deadline cuts).
 run dialog-annotate $LOG/dialog_annotate.log \
     python -m rag4dyg_tpu.cli annotate --dataset dialog \
     --resources runs/dialog/resources
@@ -163,23 +172,13 @@ run dialog-retriever $LOG/dialog_retriever.log \
     --backbone runs/dialog/backbone_r2b/checkpoint-best
 commit_stage "Restore dialog backbone/retriever checkpoints (deterministic replay)"
 
-for S in 6 7 8; do
+for S in 42 0 1 2 3 4 5 6 7 8; do
   run dialog-gen-$S $LOG/dialog_sweep.log \
       python -m rag4dyg_tpu.cli sweep --stage generator \
       --dataset dialog --seeds $S \
-      --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
+      --resources runs/dialog/resources --out runs/dialog/sweep_generator_r3 \
       --backbone runs/dialog/backbone_r2b/checkpoint-best
-  commit_stage "Dialog generator sweep seed $S (completes n=10)"
-done
-
-# --- 7. UCI generator sweep, last five seeds (completes UCI at n=10) ----
-for S in 4 5 6 7 8; do
-  run uci-gen-$S $LOG/uci_sweep.log \
-      python -m rag4dyg_tpu.cli sweep --stage generator \
-      --dataset UCI_13 --seeds $S \
-      --resources runs/uci_masked/resources --out runs/uci_masked/sweep_generator_r3 \
-      --backbone runs/uci_masked/backbone_r2b/checkpoint-best
-  commit_stage "UCI generator sweep seed $S (queue mid-sweep checkpoint)"
+  commit_stage "Dialog generator sweep seed $S at the corrected batch-64 protocol"
 done
 
 # --- 8. wikiv2 chain replay + sweep tail + true-50-epoch retriever ------
@@ -204,7 +203,8 @@ run wikiv2-retriever $LOG/wikiv2_retriever.log \
     python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
     --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
     --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-    --epochs 6 --dtype bfloat16 --attention-impl flash
+    --epochs 6 --dtype bfloat16 --attention-impl flash \
+&& touch runs/wikiv2/resources/retrieval_result/.from_r2b_replay
 commit_stage "Restore wikiv2 retriever_r2b checkpoint + round-2 .gen files (deterministic replay)"
 
 for S in 4 5 6 7 8; do
@@ -216,6 +216,7 @@ for S in 4 5 6 7 8; do
   commit_stage "wikiv2 generator sweep seed $S (toward n=10)"
 done
 
+rm -f runs/wikiv2/resources/retrieval_result/.from_r2b_replay
 run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
     python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
     --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \

@@ -128,19 +128,29 @@ if ! have_ckpt runs/wikiv2/backbone_r2b; then
   commit_stage "Restore wikiv2 backbone_r2b checkpoint (deterministic replay)"
 fi
 
+# The .from_r2b_replay marker records PROVENANCE, not just existence:
+# if the 50-epoch run below ever overwrote resources/retrieval_result
+# (it clears the marker), a relaunch re-runs the r2b replay before any
+# remaining sweep seed, keeping all ten seeds on round-2 retrieval
+# inputs.
 if ! have_ckpt runs/wikiv2/retriever_r2b \
-   || ! [ -f runs/wikiv2/resources/retrieval_result/val_index.gen ]; then
+   || ! [ -f runs/wikiv2/resources/retrieval_result/.from_r2b_replay ]; then
   run wikiv2-retriever $LOG/wikiv2_retriever.log \
       python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
       --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r2b \
       --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-      --epochs 6 --dtype bfloat16 --attention-impl flash
+      --epochs 6 --dtype bfloat16 --attention-impl flash \
+  && touch runs/wikiv2/resources/retrieval_result/.from_r2b_replay
   commit_stage "Restore wikiv2 retriever_r2b checkpoint + round-2 .gen files (deterministic replay)"
 fi
 
 # --- 2. wikiv2 generator sweep tail -> n=10, then the 50-ep horizon ------
 for S in 4 5 6 7 8; do
   have_seed runs/wikiv2/sweep_generator_r2/sweep_results.csv wikiv2 $S && continue
+  if ! [ -f runs/wikiv2/resources/retrieval_result/.from_r2b_replay ]; then
+    echo "SKIP wikiv2-gen-$S: retrieval_result provenance is not the r2b replay"
+    continue
+  fi
   run wikiv2-gen-$S $LOG/wikiv2_sweep.log \
       python -m rag4dyg_tpu.cli sweep --stage generator \
       --dataset wikiv2 --seeds $S \
@@ -150,12 +160,23 @@ for S in 4 5 6 7 8; do
 done
 
 if ! have_ckpt runs/wikiv2/retriever_r3_50ep; then
-  run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
-      python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
-      --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
-      --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
-      --dtype bfloat16 --attention-impl flash
-  commit_stage "wikiv2 retriever at the true 50-epoch cosine horizon"
+  # Only run the horizon replay once every sweep seed is recorded: it
+  # overwrites the shared .gen files (marker cleared below).
+  missing=0
+  for S in 42 0 1 2 3 4 5 6 7 8; do
+    have_seed runs/wikiv2/sweep_generator_r2/sweep_results.csv wikiv2 $S || missing=1
+  done
+  if [ "$missing" -eq 0 ]; then
+    rm -f runs/wikiv2/resources/retrieval_result/.from_r2b_replay
+    run wikiv2-retriever-50ep $LOG/wikiv2_ret50.log \
+        python -m rag4dyg_tpu.cli train-retriever --dataset wikiv2 \
+        --resources runs/wikiv2/resources --out runs/wikiv2/retriever_r3_50ep \
+        --backbone runs/wikiv2/backbone_r2b/checkpoint-best \
+        --dtype bfloat16 --attention-impl flash
+    commit_stage "wikiv2 retriever at the true 50-epoch cosine horizon"
+  else
+    echo "DEFER wikiv2-retriever-50ep: sweep seeds missing"
+  fi
 fi
 
 # --- 3. UCI sweep completion (if r3 cut it) ------------------------------
@@ -197,14 +218,17 @@ if ! have_ckpt runs/dialog/retriever_r2b \
       --backbone runs/dialog/backbone_r2b/checkpoint-best
   commit_stage "Restore dialog retriever_r2b checkpoint + round-2 .gen files (deterministic replay)"
 fi
-for S in 6 7 8; do
-  have_seed runs/dialog/sweep_generator_r2/sweep_results.csv dialog $S && continue
+# Round-2's dialog sweep trained at batch 32; the committed launcher
+# sets 64 (registry-pinned since round 3). The corrected-protocol sweep
+# lives in sweep_generator_r3 and restarts from scratch, seeds 42,0..8.
+for S in 42 0 1 2 3 4 5 6 7 8; do
+  have_seed runs/dialog/sweep_generator_r3/sweep_results.csv dialog $S && continue
   run dialog-gen-$S $LOG/dialog_sweep.log \
       python -m rag4dyg_tpu.cli sweep --stage generator \
       --dataset dialog --seeds $S \
-      --resources runs/dialog/resources --out runs/dialog/sweep_generator_r2 \
+      --resources runs/dialog/resources --out runs/dialog/sweep_generator_r3 \
       --backbone runs/dialog/backbone_r2b/checkpoint-best
-  commit_stage "Dialog generator sweep seed $S (completes n=10)"
+  commit_stage "Dialog generator sweep seed $S at the corrected batch-64 protocol"
 done
 
 # --- 5. UCI MLP fusion at full scale (if r3 cut it) -----------------------
