@@ -155,6 +155,8 @@ def cmd_train_retriever(args):
                           remat=getattr(args, "remat", "full") or "full",
                           gen_out_dir=os.path.join(args.resources,
                                                    "retrieval_result"),
+                          save_every=getattr(args, "save_every", 0) or 0,
+                          resume=getattr(args, "resume", False),
                           **_train_caps(args))
     print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
                       "test": res.test_metrics,
@@ -169,6 +171,8 @@ def cmd_train_generator(args):
                           seed=args.seed, dtype=args.dtype,
                           attention_impl=getattr(args, "attention_impl",
                                                  "xla") or "xla",
+                          save_every=getattr(args, "save_every", 0) or 0,
+                          resume=getattr(args, "resume", False),
                           **_train_caps(args))
     print(json.dumps({"best_epoch": res.best_epoch, "val": res.val_metrics,
                       "test": res.test_metrics,
@@ -321,6 +325,11 @@ def cmd_sweep(args):
         a = copy.copy(args)
         a.seed = seed
         a.out = os.path.join(args.out, f"seed{seed}")
+        # outage insurance: every sweep seed checkpoints each epoch and
+        # auto-resumes from a killed attempt's latest step checkpoint
+        # (bit-exact — tests/test_resume.py); fresh dirs start fresh
+        a.save_every = getattr(args, "save_every", 0) or 1
+        a.resume = True
         fn(a)
         # each stage appended its own results.csv; merge the last row up
         import csv as _csv

@@ -191,18 +191,28 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         corpus_np[i, : len(s)] = s
     corpus_dev = jnp.asarray(corpus_np)
 
+    node_vocab = tokenizer.node_vocab
+    best_score, best_params, best_epoch = None, params, -1
+    counter = 0
     start_epoch = 0
     if resume:
         latest = latest_checkpoint(out_dir)
         if latest:
             params = load_params(latest)
             opt_state = load_opt_state(latest, opt_state)
-            start_epoch = load_meta(latest).get("epoch", -1) + 1
-            logger.info("resumed from %s at epoch %d", latest, start_epoch)
-
-    node_vocab = tokenizer.node_vocab
-    best_score, best_params, best_epoch = None, params, -1
-    counter = 0
+            meta = load_meta(latest)
+            start_epoch = meta.get("epoch", -1) + 1
+            # early-stop state so a resumed run selects the same best
+            # epoch (older step checkpoints lack these keys: best resets,
+            # matching the previous resume behavior)
+            best_score = meta.get("best_score")
+            best_epoch = meta.get("best_epoch", -1)
+            counter = meta.get("counter", 0)
+            best_params = (load_params(os.path.join(out_dir,
+                                                    "checkpoint-best"))
+                           if best_epoch >= 0 else params)
+            logger.info("resumed from %s at epoch %d (best %d)", latest,
+                        start_epoch, best_epoch)
     start = time.time()
     global_step = 0
     runlog = RunLogger(out_dir, "backbone", config=spec)
@@ -287,7 +297,9 @@ def train_backbone(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             save_checkpoint(
                 os.path.join(out_dir, f"checkpoint-step{epoch}"), params,
                 config=model.config, opt_state=opt_state,
-                meta={"epoch": epoch, "stage": "backbone", "seed": seed})
+                meta={"epoch": epoch, "stage": "backbone", "seed": seed,
+                      "best_score": best_score, "best_epoch": best_epoch,
+                      "counter": counter})
             rotate_checkpoints(out_dir, save_total_limit)
         if stop_after_epoch is not None and epoch >= stop_after_epoch:
             logger.info("stopping after epoch %d as requested", epoch)

@@ -56,7 +56,13 @@ from rag4dyg_tpu.models.fusion import (
 from rag4dyg_tpu.train.losses import shift_ce_loss
 from rag4dyg_tpu.train.state import epoch_cosine_schedule, make_optimizer
 from rag4dyg_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_meta,
+    load_opt_state,
     load_params,
+    restore_rng_state,
+    rng_state_meta,
+    rotate_checkpoints,
     save_checkpoint,
     transfer_backbone,
 )
@@ -381,12 +387,22 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
+                    save_every: int = 0, save_total_limit: int = 2,
+                    resume: bool = False,
+                    stop_after_epoch: Optional[int] = None,
                     ) -> GeneratorResult:
     """Train the fused generator and evaluate the full RAG pipeline.
 
     ``generator_dir`` holds train_index.gen (gt top-K demos per train
     query); ``retrieval_dir`` holds {val,test}_index.gen from the
     retriever. Defaults follow the annotate/retriever output layout.
+
+    ``save_every`` > 0 writes a rotating checkpoint-step<epoch> (params +
+    optimizer state + RNG/early-stop state) every that many epochs;
+    ``resume`` continues bit-exactly from the latest one — same best
+    epoch, metrics and result row as an uninterrupted run
+    (tests/test_resume.py). Mirrors the reference's
+    --should_continue/--save_total_limit (utils/model.py:23-53).
     """
     gcfg = spec.generator
     seed = gcfg.seed if seed is None else seed
@@ -526,12 +542,29 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                                                 pad_id=tokenizer.pad_id)
 
     best_score, best_params, best_epoch, counter = None, params, -1, 0
+    start_epoch = 0
+    if resume:
+        latest = latest_checkpoint(out_dir)
+        if latest:
+            params = load_params(latest)
+            opt_state = load_opt_state(latest, opt_state)
+            meta = load_meta(latest)
+            start_epoch = meta.get("epoch", -1) + 1
+            rng, np_rng = restore_rng_state(meta)
+            best_score = meta.get("best_score")
+            best_epoch = meta.get("best_epoch", -1)
+            counter = meta.get("counter", 0)
+            best_params = (load_params(os.path.join(out_dir,
+                                                    "checkpoint-best"))
+                           if best_epoch >= 0 else params)
+            logger.info("resumed from %s at epoch %d (best %d)", latest,
+                        start_epoch, best_epoch)
     start = time.time()
     runlog = RunLogger(out_dir, "generator", config=gcfg)
     n = len(examples)
 
     B = gcfg.batch_size
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         order = np_rng.permutation(n)
         # drop_last=True like the reference train loader
@@ -603,6 +636,18 @@ def train_generator(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 if counter >= gcfg.patience:
                     logger.info("early stop at epoch %d", epoch)
                     break
+
+        if save_every and (epoch + 1) % save_every == 0:
+            save_checkpoint(
+                os.path.join(out_dir, f"checkpoint-step{epoch}"), params,
+                config=config, opt_state=opt_state,
+                meta={"epoch": epoch, "stage": "generator", "seed": seed,
+                      "best_score": best_score, "best_epoch": best_epoch,
+                      "counter": counter, **rng_state_meta(rng, np_rng)})
+            rotate_checkpoints(out_dir, save_total_limit)
+        if stop_after_epoch is not None and epoch >= stop_after_epoch:
+            logger.info("stopping after epoch %d as requested", epoch)
+            break
 
     hours = (time.time() - start) / 3600
     if best_epoch < 0:

@@ -45,7 +45,13 @@ from rag4dyg_tpu.pool.index import DenseIndex
 from rag4dyg_tpu.train.losses import cltime_loss, info_nce_loss
 from rag4dyg_tpu.train.state import epoch_cosine_schedule, make_optimizer
 from rag4dyg_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_meta,
+    load_opt_state,
     load_params,
+    restore_rng_state,
+    rng_state_meta,
+    rotate_checkpoints,
     save_checkpoint,
     transfer_backbone,
 )
@@ -500,7 +506,17 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     eval_batch_size: int = 32, accumulate_steps: int = 1,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
-                    gen_out_dir: Optional[str] = None) -> RetrieverResult:
+                    gen_out_dir: Optional[str] = None,
+                    save_every: int = 0, save_total_limit: int = 2,
+                    resume: bool = False,
+                    stop_after_epoch: Optional[int] = None
+                    ) -> RetrieverResult:
+    """``save_every`` > 0 writes a rotating checkpoint-step<epoch> (params
+    + optimizer state + RNG/early-stop state) every that many epochs;
+    ``resume`` continues bit-exactly from the latest one — the resumed run
+    produces the same best epoch, metrics and .gen files as an
+    uninterrupted run (tests/test_resume.py). Mirrors the reference's
+    --should_continue/--save_total_limit (utils/model.py:23-53)."""
     rcfg = spec.retriever
     seed = rcfg.seed if seed is None else seed
     epochs = rcfg.epochs if epochs is None else epochs
@@ -648,6 +664,23 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         return out
 
     best_score, best_params, best_epoch, counter = None, params, -1, 0
+    start_epoch = 0
+    if resume:
+        latest = latest_checkpoint(out_dir)
+        if latest:
+            params = load_params(latest)
+            opt_state = load_opt_state(latest, opt_state)
+            meta = load_meta(latest)
+            start_epoch = meta.get("epoch", -1) + 1
+            rng, np_rng = restore_rng_state(meta)
+            best_score = meta.get("best_score")
+            best_epoch = meta.get("best_epoch", -1)
+            counter = meta.get("counter", 0)
+            best_params = (load_params(os.path.join(out_dir,
+                                                    "checkpoint-best"))
+                           if best_epoch >= 0 else params)
+            logger.info("resumed from %s at epoch %d (best %d)", latest,
+                        start_epoch, best_epoch)
     last_params = params
     start = time.time()
     runlog = RunLogger(out_dir, "retriever", config=rcfg)
@@ -669,7 +702,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
             ch = max(8, 1 << (group - 1).bit_length())
         return ch
     dispatch_timer = StepTimer()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         order = np_rng.permutation(n_pairs)
         epoch_loss, nb = 0.0, 0
@@ -777,6 +810,18 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 if counter >= rcfg.patience:
                     logger.info("early stop at epoch %d", epoch)
                     break
+
+        if save_every and (epoch + 1) % save_every == 0:
+            save_checkpoint(
+                os.path.join(out_dir, f"checkpoint-step{epoch}"), params,
+                config=config, opt_state=opt_state,
+                meta={"epoch": epoch, "stage": "retriever", "seed": seed,
+                      "best_score": best_score, "best_epoch": best_epoch,
+                      "counter": counter, **rng_state_meta(rng, np_rng)})
+            rotate_checkpoints(out_dir, save_total_limit)
+        if stop_after_epoch is not None and epoch >= stop_after_epoch:
+            logger.info("stopping after epoch %d as requested", epoch)
+            break
 
     hours = (time.time() - start) / 3600
     ds = dispatch_timer.summary()

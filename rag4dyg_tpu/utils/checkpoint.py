@@ -22,6 +22,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 from flax import serialization
 
 from rag4dyg_tpu.config import ModelConfig
@@ -106,6 +107,33 @@ def latest_checkpoint(parent_dir: str, prefix: str = "checkpoint-step"
     (reference: main_SimpleDyG.py:382-387)."""
     ckpts = sorted_checkpoints(parent_dir, prefix)
     return ckpts[-1] if ckpts else None
+
+
+def rng_state_meta(rng, np_rng: "np.random.RandomState") -> Dict:
+    """JSON-able snapshot of a jax PRNG key + numpy RandomState.
+
+    The retriever/generator trainers advance one sequential key chain and
+    one global RandomState across epochs (unlike the backbone's per-epoch
+    derived streams), so bit-exact mid-run resume must restore the raw
+    state rather than re-derive it from the epoch index.
+    """
+    kind, keys, pos, has_gauss, cached = np_rng.get_state()
+    return {"jax_rng": [int(x) for x in
+                        np.asarray(jax.device_get(rng)).ravel()],
+            "np_rng": [kind, [int(x) for x in keys], int(pos),
+                       int(has_gauss), float(cached)]}
+
+
+def restore_rng_state(meta: Dict):
+    """Inverse of :func:`rng_state_meta`."""
+    import jax.numpy as jnp
+
+    rng = jnp.asarray(np.asarray(meta["jax_rng"], np.uint32))
+    kind, keys, pos, has_gauss, cached = meta["np_rng"]
+    np_rng = np.random.RandomState()
+    np_rng.set_state((kind, np.asarray(keys, np.uint32), int(pos),
+                      int(has_gauss), float(cached)))
+    return rng, np_rng
 
 
 def transfer_backbone(target_params, backbone_params,
