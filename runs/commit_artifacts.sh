@@ -13,6 +13,7 @@ cd "$(dirname "$0")/.."
 shopt -s nullglob
 for f in \
     runs/*/resources/retrieval_result/* \
+    runs/*/resources/retrieval_result/.from_* \
     runs/*/resources/train_retrieval/* \
     runs/*/resources/train_generator/* \
     runs/*/backbone*/checkpoint-best/params.msgpack \
