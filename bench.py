@@ -20,6 +20,13 @@ def _enable_compile_cache():
 
 POOL, DIM, QUERIES, BATCH, TOPK = 16384, 512, 2048, 256, 10
 
+# Reference-scorer throughput pinned once on an idle host (median of N=5,
+# 2026-08-20; see BASELINE.md "Pinned reference-scorer throughput").
+# The chip number is stable to 0.5% across rounds while live host
+# re-measurement wobbles ~40% with contention, so vs_baseline uses this
+# pinned figure; the live measurement is reported as live_baseline_qps.
+PINNED_BASELINE_QPS = 2026.4
+
 
 def bench_tpu(pool: np.ndarray, queries: np.ndarray) -> float:
     import jax
@@ -134,7 +141,9 @@ def main():
         "metric": "retrieval_query_throughput",
         "value": round(ours, 1),
         "unit": "queries/sec/chip",
-        "vs_baseline": round(ours / base, 2),
+        "vs_baseline": round(ours / PINNED_BASELINE_QPS, 2),
+        "live_baseline_qps": round(base, 1),
+        "pinned_baseline_qps": PINNED_BASELINE_QPS,
     }))
 
 
