@@ -87,8 +87,15 @@ def bench_jaccard(jax, n_queries: int, n_rows: int, vocab: int, mesh=None,
     from rag4dyg_tpu.pool.jaccard import jaccard_matrix, reference_pairs_matrix
 
     rng = np.random.RandomState(1)
-    sets = [set(rng.choice(vocab, size=max(1, rng.poisson(avg_set)),
-                           replace=False).tolist()) for _ in range(n_rows)]
+    if n_rows <= 100_000:
+        sets = [set(rng.choice(vocab, size=max(1, rng.poisson(avg_set)),
+                               replace=False).tolist()) for _ in range(n_rows)]
+    else:
+        # vectorized generation for the 1M-row north-star shape: one
+        # [N, avg_set] randint draw; set() dedups within-row collisions
+        # (sizes land a touch under avg_set — fine for a throughput shape)
+        mat = rng.randint(0, vocab, size=(n_rows, avg_set))
+        sets = [set(row) for row in mat.tolist()]
     qsets = sets[:n_queries]
     t0 = time.perf_counter()
     out = jaccard_matrix(qsets, sets, token_to_id=int, vocab_size=vocab,
@@ -138,6 +145,10 @@ def main():
     ap.add_argument("--skip-jaccard-synthetic", action="store_true")
     ap.add_argument("--skip-gen-rank", action="store_true")
     ap.add_argument("--skip-reddit", action="store_true")
+    # 1M-row runs on the 1-core virtual mesh must bound the matmul FLOPs
+    # (2*Q*D*N per rep); defaults keep the historical shapes
+    ap.add_argument("--topk-queries", type=int, default=1024)
+    ap.add_argument("--topk-reps", type=int, default=50)
     args = ap.parse_args()
     # mesh mode runs on 8 virtual CPU devices of ONE core: shapes shrink
     # to prove the sharded path (correctness + execution), not to race it
@@ -196,7 +207,9 @@ def main():
     # synthetic north-star pool
     progress("synth_rows", args.synthetic_rows)
     progress("synth_topk_qps", round(
-        bench_topk(jax, args.synthetic_rows, mesh=mesh), 1))
+        bench_topk(jax, args.synthetic_rows, mesh=mesh,
+                   reps=args.topk_reps, queries=args.topk_queries), 1))
+    progress("synth_topk_queries", args.topk_queries)
     if not args.skip_gen_rank and mesh is None:
         # single-device only: rank_full of a mesh-sharded pool is
         # intentionally unsupported (emit a top-k .gen instead)
