@@ -28,6 +28,9 @@ for f in \
     runs/*/sweep_generator*/sweep_results.csv \
     runs/*/sweep_generator*/seed*/results.csv \
     runs/*/sweep_generator*/seed*/logs/* \
+    runs/*/sweep_backbone*/seed*/results.csv \
+    runs/*/sweep_backbone*/seed*/logs/* \
+    runs/scale_pool_1m/*.json \
   ; do
   git add -f "$f"
 done
