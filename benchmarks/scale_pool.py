@@ -53,25 +53,47 @@ def bench_topk(jax, pool_rows: int, mesh=None, reps: int = 50,
     pool = rng.randn(pool_rows, DIM).astype(np.float32)
     q = rng.randn(queries, DIM).astype(np.float32)
     idx = DenseIndex(pool, mesh=mesh, use_pallas=(mesh is None))
+    del pool
 
-    def one(qx):
-        s, _ = idx.topk_device(qx, TOPK)
-        return s
+    # The pool MUST be a jit ARGUMENT, not a closure capture: a captured
+    # device array is baked into the lowering as a constant (2 GB of
+    # MLIR at the 1M-row shape — observed to stall the remote compile
+    # service; jax warns at 2.05GB captured). bench.py's runner has the
+    # same structure for the same reason.
+    use_pallas = idx.mesh is None and idx.use_pallas
+    if use_pallas:
+        from rag4dyg_tpu.ops.topk_pallas import fused_score_topk
+
+        # eager call builds + pads idx._pallas_pool without any capture
+        jax.block_until_ready(idx.topk_device(jax.device_put(q), TOPK))
+        pool_dev = idx._pallas_pool
+    else:
+        pool_dev = idx.pool
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def run(qx, reps):
+    def run(qx, p, reps):
         def body(carry, _):
-            s = one(qx + carry * 1e-6)
+            qi = qx + carry * 1e-6
+            if use_pallas:
+                s, _ = fused_score_topk(qi, p, k=TOPK, n_valid=idx.n,
+                                        tile_n=512, normalize=True)
+            elif idx.mesh is None:
+                from rag4dyg_tpu.pool.index import _topk_dense
+                s, _ = _topk_dense(qi, p, TOPK)
+            else:
+                from rag4dyg_tpu.pool.index import _topk_sharded
+                s, _ = _topk_sharded(qi, p, TOPK, idx.mesh,
+                                     idx.shard_axis, idx.n)
             return carry + s[0, 0], None
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return carry
 
     qd = jax.device_put(q)
-    jax.block_until_ready(run(qd, reps))            # compile + warm
+    jax.block_until_ready(run(qd, pool_dev, reps))   # compile + warm
     qd2 = jax.device_put(rng.randn(queries, DIM).astype(np.float32))
     jax.block_until_ready(qd2)
     t0 = time.perf_counter()
-    v = float(run(qd2, reps))
+    v = float(run(qd2, pool_dev, reps))
     dt = time.perf_counter() - t0
     assert v > 0.0, "scan carry did not accumulate"
     return reps * queries / dt
