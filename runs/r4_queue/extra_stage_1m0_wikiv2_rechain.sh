@@ -8,7 +8,7 @@
 # 3 seeds if it moved (sensitivity matters), 1 spot-check seed if not.
 # Same-seed comparisons land against the r2 sweep (seed 42: 0.3219,
 # seed 0: 0.3269, seed 1: 0.3311-band).
-set -e
+set -e -o pipefail
 cd /root/repo
 RES=runs/wikiv2/retriever_r3_50ep/results.csv
 [ -f "$RES" ] || { echo "rechain: no 50-epoch retriever results; skip"; exit 0; }

@@ -4,7 +4,7 @@
 # 1M x 512 f32 = 2 GB, well inside v5e HBM; upload rides the fast
 # direction of the relay). gen-rank is skipped: a [512, 1M] int32 rank
 # download is ~2 GB through the 3-6 MB/s relay download path.
-set -e
+set -e -o pipefail
 cd /root/repo
 mkdir -p runs/scale_pool_1m
 python benchmarks/scale_pool.py --mode chip \

@@ -6,7 +6,7 @@
 # because the 8 virtual devices share ONE core (2*Q*D*N FLOPs per rep);
 # the point is the sharding story executing + verified at 1M rows, with
 # measured numbers labeled as virtual-mesh.
-set -e
+set -e -o pipefail
 cd /root/repo
 mkdir -p runs/scale_pool_1m
 python benchmarks/scale_pool.py --mode mesh \

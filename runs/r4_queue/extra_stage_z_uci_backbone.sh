@@ -5,7 +5,7 @@
 # hours=0.21-0.23) so the headline can quote backbone mean +/- std at
 # n=5 instead of one draw. Matches the reference backbone protocol
 # (scripts/SimpleDyG/train_UCI_13.sh config via the registry).
-set -e
+set -e -o pipefail
 cd /root/repo
 python -m rag4dyg_tpu.cli sweep --stage backbone --dataset UCI_13 \
   --seeds 0,1,2,3 \
