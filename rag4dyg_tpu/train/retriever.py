@@ -504,6 +504,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     seed: Optional[int] = None, dtype: str = "float32",
                     attention_impl: str = "xla", remat: str = "full",
                     eval_batch_size: int = 32, accumulate_steps: int = 1,
+                    chunk_ladder: bool = False,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
                     gen_out_dir: Optional[str] = None,
@@ -701,6 +702,26 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         if group < ch:
             ch = max(8, 1 << (group - 1).bit_length())
         return ch
+
+    def chunk_plan(n: int, ch: int) -> list:
+        """Dispatch sizes covering ``n`` steps under ``--chunk-ladder``:
+        full cap-sized chunks, then a descending power-of-two remainder
+        ladder (min 8). Numerics are bit-identical to the single-size
+        plan — masked no-op padding steps are exact no-ops either way
+        (tests/test_retriever_step.py) — but padding waste per bucket
+        group drops from up-to-`ch-1` full-cost steps to <8, at the
+        price of ≤log2(ch) extra compiled shapes per group. Measured
+        motivation in RESULTS.md "Retriever MFU accounting": ~20% of
+        wikiv2 steps were padding; dispatch gaps are only ~5%."""
+        sizes = [ch] * (n // ch)
+        rem = n - ch * len(sizes)
+        while rem >= 8:
+            p = 1 << (rem.bit_length() - 1)   # largest pow2 <= rem
+            sizes.append(min(p, ch))
+            rem -= sizes[-1]
+        if rem:
+            sizes.append(8)                    # final, partially masked
+        return sizes
     dispatch_timer = StepTimer()
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
@@ -730,16 +751,23 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                 sel = np.where((bucket_ap == ba) & (bucket_ng == bn))[0]
                 # pad to a multiple of the group's chunk size with masked
                 # no-op steps so every dispatch reuses one compiled shape
+                # (or, under --chunk-ladder, cover the tail with a
+                # power-of-two remainder ladder: same numerics, <8 padded
+                # steps per group instead of up-to-CH)
                 CH = chunk_steps(ba, bn, len(sel))
-                n_chunks = -(-len(sel) // CH)
-                padded = np.zeros(n_chunks * CH, np.int64)
+                sizes = (chunk_plan(len(sel), CH) if chunk_ladder
+                         else [CH] * (-(-len(sel) // CH)))
+                total = sum(sizes)
+                padded = np.zeros(total, np.int64)
                 padded[: len(sel)] = sel
-                valid = np.zeros(n_chunks * CH, bool)
+                valid = np.zeros(total, bool)
                 valid[: len(sel)] = True
                 neg_view = None if bn == ba else pool_views[bn]
-                for c in range(n_chunks):
-                    sl = padded[c * CH:(c + 1) * CH]
-                    vl = valid[c * CH:(c + 1) * CH]
+                off = 0
+                for sz in sizes:
+                    sl = padded[off:off + sz]
+                    vl = valid[off:off + sz]
+                    off += sz
                     with dispatch_timer.step():
                         params, opt_state, loss_sum = retry_transient(
                             epoch_fn, params, opt_state, pool_views[ba],

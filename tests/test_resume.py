@@ -138,6 +138,27 @@ def test_retriever_resume_replays_identically(rag_resources, tmp_path):
     _assert_same_last_and_result(full_dir, part_dir)
 
 
+def test_retriever_chunk_ladder_bit_identical(rag_resources, tmp_path):
+    """--chunk-ladder changes only how each bucket group's steps are cut
+    into compiled dispatch shapes (power-of-two tail ladder vs one
+    padded chunk); masked padding steps are exact no-ops, so params and
+    the result row must be BIT-identical. 80 pairs / batch 4 = a
+    20-step group: the flat plan pads to one 32-chunk, the ladder cuts
+    [16, 8] — different chunking, different padding, same numerics."""
+    from rag4dyg_tpu.train.retriever import train_retriever
+
+    with open(os.path.join(rag_resources, "train_retrieval",
+                           "train_index.retrieval"), "w") as f:
+        for i in range(80):
+            f.write(f"{i % 8} {(i + 1) % 8} {(i + 3) % 8}\n")
+    spec = RET_SPEC
+    flat_dir, lad_dir = str(tmp_path / "flat"), str(tmp_path / "ladder")
+    train_retriever(spec, rag_resources, flat_dir, epochs=2, seed=3)
+    train_retriever(spec, rag_resources, lad_dir, epochs=2, seed=3,
+                    chunk_ladder=True)
+    _assert_same_last_and_result(flat_dir, lad_dir)
+
+
 GEN_SPEC = DatasetSpec(
     name="tiny", timestep=1, csv_name="tiny", time_scale=1.0,
     n_layer=1, n_head=2, n_embd=16, batch_size=4, epochs=4, patience=100,
