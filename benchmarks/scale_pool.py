@@ -42,7 +42,7 @@ def _setup(mode: str):
 
 
 def bench_topk(jax, pool_rows: int, mesh=None, reps: int = 50,
-               queries: int = 1024):
+               queries: int = 1024, use_pallas: bool = None):
     """Queries/sec through DenseIndex.topk_device at [pool_rows, DIM]."""
     import jax.numpy as jnp
     import numpy as np
@@ -52,7 +52,9 @@ def bench_topk(jax, pool_rows: int, mesh=None, reps: int = 50,
     rng = np.random.RandomState(0)
     pool = rng.randn(pool_rows, DIM).astype(np.float32)
     q = rng.randn(queries, DIM).astype(np.float32)
-    idx = DenseIndex(pool, mesh=mesh, use_pallas=(mesh is None))
+    idx = DenseIndex(pool, mesh=mesh,
+                     use_pallas=(mesh is None) if use_pallas is None
+                     else use_pallas)
     del pool
 
     # The pool MUST be a jit ARGUMENT, not a closure capture: a captured
@@ -171,6 +173,12 @@ def main():
     # (2*Q*D*N per rep); defaults keep the historical shapes
     ap.add_argument("--topk-queries", type=int, default=1024)
     ap.add_argument("--topk-reps", type=int, default=50)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="chip mode: score via XLA matmul + lax.top_k "
+                         "instead of the fused Pallas kernel — at very "
+                         "large tile counts (1M rows / 512-tile = 1954 "
+                         "grid steps) the fused kernel is per-tile-"
+                         "overhead-bound and XLA wins")
     args = ap.parse_args()
     # mesh mode runs on 8 virtual CPU devices of ONE core: shapes shrink
     # to prove the sharded path (correctness + execution), not to race it
@@ -230,8 +238,11 @@ def main():
     progress("synth_rows", args.synthetic_rows)
     progress("synth_topk_qps", round(
         bench_topk(jax, args.synthetic_rows, mesh=mesh,
-                   reps=args.topk_reps, queries=args.topk_queries), 1))
+                   reps=args.topk_reps, queries=args.topk_queries,
+                   use_pallas=False if args.no_pallas else None), 1))
     progress("synth_topk_queries", args.topk_queries)
+    if args.no_pallas:
+        progress("synth_topk_impl", "xla_dense")
     if not args.skip_gen_rank and mesh is None:
         # single-device only: rank_full of a mesh-sharded pool is
         # intentionally unsupported (emit a top-k .gen instead)
