@@ -438,10 +438,10 @@ def main(argv=None):
                             help="retriever: cover each bucket group's "
                                  "step tail with a power-of-two chunk "
                                  "ladder instead of padding to one chunk "
-                                 "size — bit-identical numerics, ~20% "
-                                 "fewer wasted steps at wikiv2 scale for "
-                                 "a few extra compiles (RESULTS.md MFU "
-                                 "accounting)")
+                                 "size — bit-identical numerics; step "
+                                 "padding 12.2%%->2.2%% at the wikiv2 "
+                                 "shape for a few extra compiles "
+                                 "(RESULTS.md MFU accounting)")
             sp.add_argument("--backbone", default=None,
                             help="backbone checkpoint dir for transfer")
             sp.add_argument("--save-every", type=int, default=0,

@@ -710,9 +710,10 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         plan — masked no-op padding steps are exact no-ops either way
         (tests/test_retriever_step.py) — but padding waste per bucket
         group drops from up-to-`ch-1` full-cost steps to <8, at the
-        price of ≤log2(ch) extra compiled shapes per group. Measured
-        motivation in RESULTS.md "Retriever MFU accounting": ~20% of
-        wikiv2 steps were padding; dispatch gaps are only ~5%."""
+        price of ≤log2(ch) extra compiled shapes per group. Measured at
+        the wikiv2 shape (RESULTS.md "Retriever MFU accounting"): step
+        padding 12.2% → 2.2% (~9% of epoch FLOPs recovered), vs
+        ~15-20 min of one-time extra compiles — opt-in for long runs."""
         sizes = [ch] * (n // ch)
         rem = n - ch * len(sizes)
         while rem >= 8:
