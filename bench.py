@@ -142,6 +142,11 @@ def main():
         "value": round(ours, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(ours / PINNED_BASELINE_QPS, 2),
+        # schema 2 (round 4+): vs_baseline's denominator is the PINNED
+        # idle-host median below, not the live re-measurement — rounds
+        # 1-3 used the live number (369-575x spread). Consumers comparing
+        # cross-round trends must split on this field (ADVICE r4).
+        "baseline_schema": 2,
         "live_baseline_qps": round(base, 1),
         "pinned_baseline_qps": PINNED_BASELINE_QPS,
     }))

@@ -22,9 +22,13 @@ STAMP=runs/canary_stamp/OPS_CANARY_PASS
 mkdir -p runs/canary_stamp
 
 current_hash() {
-  # Stable digest over content of every tracked-or-not source under ops/
-  find rag4dyg_tpu/ops -name '*.py' -type f | LC_ALL=C sort \
-    | xargs sha256sum | sha256sum | cut -d' ' -f1
+  # Stable digest over content of every tracked-or-not source under ops/.
+  # NUL-delimited + LC_ALL=C sort on the repo-relative path string so the
+  # order matches tests/test_canary_gate.py:_ops_hash exactly (ADVICE r4:
+  # Path-object component sort vs raw-string sort can diverge once ops/
+  # gains subdirectories; xargs without -0 breaks on spaces).
+  find rag4dyg_tpu/ops -name '*.py' -type f -print0 | LC_ALL=C sort -z \
+    | xargs -0 sha256sum | sha256sum | cut -d' ' -f1
 }
 
 CUR=$(current_hash)
@@ -34,12 +38,17 @@ if [ -f "$STAMP" ] && [ "$(cut -d' ' -f1 "$STAMP")" = "$CUR" ]; then
 fi
 
 echo "OPS CANARY GATE: ops/ changed (or no stamp) — running on-chip canary"
-if timeout 900 python benchmarks/chip_canary.py 2>&1 | tee /tmp/ops_canary_gate.log \
-    | grep -q "CHIP CANARY PASS"; then
+# Run to completion FIRST, then inspect: a `tee | grep -q` pipeline exits
+# (and used to stamp PASS) as soon as the PASS line appeared, while the
+# canary python could still crash later on the chip (ADVICE r4).
+timeout 900 python benchmarks/chip_canary.py > /tmp/ops_canary_gate.log 2>&1
+rc=$?
+if [ "$rc" -eq 0 ] && grep -q "CHIP CANARY PASS" /tmp/ops_canary_gate.log; then
   echo "$CUR $(date -u '+%Y-%m-%d %H:%M:%S') PASS" > "$STAMP"
   echo "OPS CANARY GATE: PASS recorded -> $STAMP"
   exit 0
 fi
+echo "OPS CANARY GATE: canary rc=$rc" >&2
 
 echo "OPS CANARY GATE: FAIL — on-chip canary did not pass; refusing to launch" >&2
 echo "  (log: /tmp/ops_canary_gate.log; fix the pallas spec or rerun when the relay is up)" >&2

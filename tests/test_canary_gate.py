@@ -22,8 +22,12 @@ STAMP = REPO / "runs" / "canary_stamp" / "OPS_CANARY_PASS"
 
 def _ops_hash() -> str:
     # Mirrors runs/ops_canary_gate.sh:current_hash (sha256 of the sorted
-    # `sha256sum` manifest of every .py under rag4dyg_tpu/ops/).
-    files = sorted((REPO / "rag4dyg_tpu" / "ops").rglob("*.py"))
+    # `sha256sum` manifest of every .py under rag4dyg_tpu/ops/). Sort on
+    # the repo-relative path STRING — identical to the shell side's
+    # LC_ALL=C byte sort — not on Path objects, whose component-wise
+    # order diverges for some subdirectory layouts (ADVICE r4).
+    files = sorted((REPO / "rag4dyg_tpu" / "ops").rglob("*.py"),
+                   key=lambda f: str(f.relative_to(REPO)))
     manifest = "".join(
         f"{hashlib.sha256(f.read_bytes()).hexdigest()}  {f.relative_to(REPO)}\n"
         for f in files
@@ -35,9 +39,9 @@ def test_gate_script_hash_agrees():
     """The shell gate and this test must compute the same digest."""
     sh = subprocess.run(
         ["bash", "-c",
-         "cd '%s' && find rag4dyg_tpu/ops -name '*.py' -type f"
-         " | LC_ALL=C sort | xargs sha256sum | sha256sum | cut -d' ' -f1"
-         % REPO],
+         "cd '%s' && find rag4dyg_tpu/ops -name '*.py' -type f -print0"
+         " | LC_ALL=C sort -z | xargs -0 sha256sum | sha256sum"
+         " | cut -d' ' -f1" % REPO],
         capture_output=True, text=True, check=True)
     assert sh.stdout.strip() == _ops_hash()
 
