@@ -94,12 +94,16 @@ def cmd_annotate(args):
     ann = annotate_pool(args.resources, _tokenizer(spec, args.resources),
                         threshold=spec.jaccard_threshold,
                         neg_num=spec.neg_num, gt_topk=spec.gt_topk,
-                        max_positives=spec.max_positives, seed=args.seed or 0)
+                        max_positives=spec.max_positives, seed=args.seed or 0,
+                        device_mining=getattr(args, "device_mining", False))
     write_annotation(ann,
                      os.path.join(args.resources, "train_retrieval"),
                      os.path.join(args.resources, "train_generator"))
-    print(json.dumps({"pairs": int(len(ann.train_pairs)),
-                      "pool": int(ann.train_out_scores.shape[0])}))
+    out = {"pairs": int(len(ann.train_pairs)), "pool": int(ann.n_pool)}
+    if ann.mine_stats is not None:
+        out["mining"] = "device"
+        out["fallback_rows"] = ann.mine_stats.fallback_rows
+    print(json.dumps(out))
 
 
 def cmd_query_time(args):
@@ -485,7 +489,15 @@ def main(argv=None):
                              "relay is down)")
 
     common(sub.add_parser("prepare"), csv=True)
-    common(sub.add_parser("annotate"))
+    ann_p = sub.add_parser("annotate")
+    common(ann_p)
+    ann_p.add_argument("--device-mining", action="store_true",
+                       help="mine positives/negatives/gt on device "
+                            "(pool.mine): no [N,N] matrix download; "
+                            "candidate tie order canonicalized "
+                            "(PARITY.md) so sampled negatives can differ "
+                            "from the host path at identical "
+                            "distribution")
     common(sub.add_parser("query-time"), csv=True)
     common(sub.add_parser("train-backbone"), out=True, train=True)
     common(sub.add_parser("train-retriever"), out=True, train=True)
