@@ -61,6 +61,7 @@ class MineStats:
     fallback_rows: int          # rows re-mined exactly on host
     fallback_reasons: dict      # reason -> count
     collision_free: bool        # f32 order provably exact for this pool
+    engines: tuple = ()         # (out-matrix engine, in-matrix engine)
 
 
 @dataclasses.dataclass
@@ -98,38 +99,61 @@ def _unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(packed.shape[0], -1).astype(jnp.bfloat16)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_chunks", "width", "block", "k_pos",
-                              "neg_k", "gt_k"))
-def _mine_block(out_oh, in_oh, sz_out, sz_in, row0, n_valid, t_lo, t_hi,
-                *, n_chunks: int, width: int, block: int, k_pos: int,
-                neg_k: int, gt_k: int):
-    """Mine one query row-block [block] of the pool against all pool
-    rows. ``out_oh``/``in_oh``: [N_pad, V_pad/8] bit-packed uint8
-    membership, device resident; the query block is sliced from the same
-    arrays (train self-similarity). Returns per-row candidate indices +
-    exact integer intersection counts, never a full matrix."""
+@functools.partial(jax.jit,
+                   static_argnames=("n_chunks", "width", "block"))
+def _inter_block_matmul(oh, row0, *, n_chunks: int, width: int,
+                        block: int) -> jnp.ndarray:
+    """Exact intersection counts [block, N_pad] f32 of one query
+    row-block vs all pool rows, MXU engine: vocab-chunked bf16 one-hot
+    matmul with f32 accumulation (cost ∝ N²·V — right when sets are
+    large relative to the vocabulary)."""
     wb = width // 8
-    a_out = jax.lax.dynamic_slice_in_dim(out_oh, row0, block, 0)
-    a_in = jax.lax.dynamic_slice_in_dim(in_oh, row0, block, 0)
+    a = jax.lax.dynamic_slice_in_dim(oh, row0, block, 0)
 
-    def body(carry, c):
-        acc_o, acc_i = carry
+    def body(acc, c):
         sl = lambda m: _unpack_bits(jax.lax.dynamic_slice_in_dim(  # noqa: E731
             m, c * wb, wb, 1))
         # 0/1 values are exact in bf16; MXU accumulates f32 — counts are
         # exact integers below 2^24 (set sizes < 2^16)
-        acc_o = acc_o + jnp.dot(sl(a_out), sl(out_oh).T,
-                                preferred_element_type=jnp.float32)
-        acc_i = acc_i + jnp.dot(sl(a_in), sl(in_oh).T,
-                                preferred_element_type=jnp.float32)
-        return (acc_o, acc_i), None
+        return acc + jnp.dot(sl(a), sl(oh).T,
+                             preferred_element_type=jnp.float32), None
 
-    n_pad = out_oh.shape[0]
-    acc0 = jnp.zeros((block, n_pad), jnp.float32)
-    (inter_o, inter_i), _ = jax.lax.scan(body, (acc0, acc0),
-                                         jnp.arange(n_chunks))
+    acc0 = jnp.zeros((block, oh.shape[0]), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
+    return acc
 
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _inter_block_compare(ids, row0, *, block: int) -> jnp.ndarray:
+    """Exact intersection counts [block, N_pad] f32, VPU engine:
+    all-pairs id equality over padded id lists [N_pad, L] (pad = -1),
+    scanned over the query slot axis (cost ∝ N²·L² — for a 100k-row
+    pool of ~24-token sets over a 64k vocab this is ~60× less work
+    than the dense one-hot matmul, the difference between minutes and
+    hours on one chip). Set elements are unique, so each equal pair
+    contributes exactly once; -1 padding never equals a valid id."""
+    q = jax.lax.dynamic_slice_in_dim(ids, row0, block, 0)
+
+    def body(acc, a):
+        qa = q[:, a]
+        hits = jnp.sum(ids[None, :, :] == qa[:, None, None], -1,
+                       dtype=jnp.int32)
+        return acc + jnp.where((qa >= 0)[:, None], hits, 0), None
+
+    acc0 = jnp.zeros((block, ids.shape[0]), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(q.shape[1]))
+    return acc.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "k_pos", "neg_k", "gt_k"))
+def _mine_block(inter_o, inter_i, sz_out, sz_in, row0, n_valid, t_lo,
+                t_hi, *, block: int, k_pos: int, neg_k: int, gt_k: int):
+    """Mine one query row-block [block] of the pool from its
+    device-resident intersection-count rows (either engine above).
+    Returns per-row candidate indices + exact integer intersection
+    counts, never a full matrix."""
+    n_pad = inter_o.shape[1]
     rows = row0 + jnp.arange(block)
     col = jnp.arange(n_pad)
     valid = col[None, :] < n_valid
@@ -237,7 +261,7 @@ def mine_pool_device(
         vocab_size: int, *, threshold: float, neg_num: int, gt_topk: int,
         max_positives: Optional[int], rng: np.random.RandomState,
         row_block: int = 1024, vocab_chunk: int = DEFAULT_VOCAB_CHUNK,
-        k_pos: int = 64, margin: int = 6,
+        k_pos: int = 64, margin: int = 6, engine: str = "auto",
         out_sets: Optional[List[set]] = None,
         in_sets: Optional[List[set]] = None) -> MinedPool:
     """Mine (anchor, positive, negative) triples + gt top-k on device.
@@ -246,6 +270,9 @@ def mine_pool_device(
     and history spans). ``out_sets``/``in_sets``: optional raw Python
     sets for the exact host fallback (rebuilt from ids if omitted —
     Jaccard only needs set identity, so ids are equivalent).
+    ``engine``: intersection engine per matrix — "matmul" (one-hot MXU),
+    "compare" (padded-id equality, VPU), or "auto" by the L²-vs-V/16
+    cost rule.
     """
     n = len(out_ids)
     assert len(in_ids) == n
@@ -260,8 +287,28 @@ def mine_pool_device(
     block = min(row_block, max(8, n))
     n_pad = -(-n // block) * block
 
-    out_oh = jnp.asarray(_host_packed(out_ids, v_pad, n_pad))
-    in_oh = jnp.asarray(_host_packed(in_ids, v_pad, n_pad))
+    def prep(ids):
+        """Per-matrix engine choice + device upload. The compare engine
+        does N²·L² VPU work vs the matmul engine's N²·V MXU MACs; with
+        the MXU ~16× denser, compare wins when L² ≲ V/16 (small sets
+        over a big vocabulary — the 100k-row regime)."""
+        lmax = max((len(s) for s in ids), default=1)
+        if engine == "compare" or (engine == "auto"
+                                   and lmax * lmax <= v_pad // 16):
+            lmax = max(1, lmax)
+            arr = np.full((n_pad, lmax), -1, np.int32)
+            for r, s in enumerate(ids):
+                arr[r, :len(s)] = sorted(s)
+            dev = jnp.asarray(arr)
+            return "compare", lambda r0: _inter_block_compare(
+                dev, jnp.int32(r0), block=block)
+        dev = jnp.asarray(_host_packed(ids, v_pad, n_pad))
+        return "matmul", lambda r0: _inter_block_matmul(
+            dev, jnp.int32(r0), n_chunks=n_chunks, width=vocab_chunk,
+            block=block)
+
+    eng_out, inter_out_fn = prep(out_ids)
+    eng_in, inter_in_fn = prep(in_ids)
     sz_out_h = np.array([len(s) for s in out_sets], np.int64)
     sz_in_h = np.array([len(s) for s in in_sets], np.int64)
     pad = np.zeros(n_pad - n, np.float32)
@@ -280,10 +327,10 @@ def mine_pool_device(
 
     blocks = []
     for r0 in range(0, n, block):
-        out = _mine_block(out_oh, in_oh, sz_out, sz_in,
+        out = _mine_block(inter_out_fn(r0), inter_in_fn(r0), sz_out, sz_in,
                           jnp.int32(r0), jnp.int32(n), t_lo, t_hi,
-                          n_chunks=n_chunks, width=vocab_chunk, block=block,
-                          k_pos=k_pos_eff, neg_k=neg_k, gt_k=gt_k)
+                          block=block, k_pos=k_pos_eff, neg_k=neg_k,
+                          gt_k=gt_k)
         blocks.append({k: np.asarray(v) for k, v in out.items()})
     cand = {k: np.concatenate([b[k] for b in blocks])[:n]
             for k in blocks[0]}
@@ -369,7 +416,8 @@ def mine_pool_device(
 
     stats = MineStats(n_pool=n, fallback_rows=fallback_rows,
                       fallback_reasons=reasons,
-                      collision_free=collision_free)
+                      collision_free=collision_free,
+                      engines=(eng_out, eng_in))
     return MinedPool(np.asarray(pairs, np.int64).reshape(-1, 3),
                      np.asarray(pair_scores, np.float64).reshape(-1, 2),
                      gt_idx, gt_score, stats)

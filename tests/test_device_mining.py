@@ -148,6 +148,19 @@ def test_device_mining_multi_vocab_chunks():
     _assert_equal(mined, _host_stable(out_ids, in_ids, vocab))
 
 
+def test_compare_engine_bitwise(uci_ids):
+    """The id-compare intersection engine (VPU all-pairs equality) must
+    give identical mining to the one-hot matmul engine and the host."""
+    out_ids, in_ids, vocab = uci_ids
+    out_ids, in_ids = out_ids[:150], in_ids[:150]
+    host = _host_stable(out_ids, in_ids, vocab)
+    forced = _device(out_ids, in_ids, vocab, engine="compare", row_block=64)
+    _assert_equal(forced, host)
+    assert forced.stats.engines == ("compare", "compare")
+    auto = _device(out_ids, in_ids, vocab, row_block=64)
+    _assert_equal(auto, host)
+
+
 def test_annotate_pool_device_mode(tmp_path, reference_path):
     """annotate_pool(device_mining=True) end-to-end on the committed UCI
     resources subset: same artifacts as the stable host algorithm."""
