@@ -31,6 +31,9 @@ for f in \
     runs/*/sweep_backbone*/seed*/results.csv \
     runs/*/sweep_backbone*/seed*/logs/* \
     runs/scale_pool_1m/*.json \
+    runs/annotate_bench/*.json \
+    runs/mfu_buckets/*.json \
+    runs/remat_dots/*.json \
   ; do
   git add -f "$f"
 done
