@@ -106,12 +106,102 @@ def bench(dtype: str, impl: str, s_small: int, s_big: int,
             "mfu_pct": round(100.0 * flops / per_step / TPU_PEAK_FLOPS, 1)}
 
 
+def bench_bucket(ba: int, bn: int, s_small: int, s_big: int,
+                 dtype: str = "bfloat16", impl: str = "flash"):
+    """One (anchor-bucket, negative-bucket) group at the production
+    config: s/step, TFLOPS, MFU (VERDICT r4 #6 — the epoch-MFU
+    accounting attributes the last ~10 points to short-anchor bucket
+    mix; this measures each group instead of asserting it)."""
+    config = ModelConfig(vocab_size=VOCAB, n_layer=N_LAYER, n_head=N_HEAD,
+                         n_embd=N_EMBD, dtype=dtype, attention_impl=impl,
+                         eta=0.6, gamma=0.8)
+    model = GPT2LMModel(config)
+    params = init_params(config, jax.random.PRNGKey(0))
+    optimizer = make_optimizer(params, optax.constant_schedule(1e-6))
+    opt_state = optimizer.init(params)
+    epoch_fn, _ = make_retriever_epoch_fn(
+        model, optimizer, alpha=0.2, temperature=0.1, lambda_decay=1.0,
+        eta=0.6, gamma=0.8, mask_token=MASK_TOKEN, pad_id=PAD_ID,
+        remat="full")
+
+    rng = np.random.RandomState(0)
+
+    def mk_pool(width):
+        lens = rng.randint(max(2, width - 127), width + 1, POOL)
+        p = np.full((POOL, width), PAD_ID, np.int32)
+        for i, n in enumerate(lens):
+            p[i, :n] = rng.randint(2, VOCAB - 1, n)
+        return jax.device_put(p)
+
+    pool_a = mk_pool(ba)
+    pool_n = mk_pool(bn) if bn != ba else None
+
+    def run(steps: int):
+        idx = jnp.asarray(rng.randint(0, POOL, (steps, B, 3)), jnp.int32)
+        ts = jnp.asarray(rng.rand(3, steps, B), jnp.float32)
+        rngs = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(7), i))(jnp.arange(steps))
+        valids = jnp.ones(steps, bool)
+        return epoch_fn(params, opt_state, pool_a, idx, ts[0], ts[1],
+                        ts[2], rngs, valids, pool_n)
+
+    def timed(steps):
+        jax.block_until_ready(run(steps))
+        t0 = time.perf_counter()
+        p2, _, loss = run(steps)
+        jax.block_until_ready(p2)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(float(loss)) and float(loss) != 0.0
+        return dt
+
+    t_small, t_big = timed(s_small), timed(s_big)
+    per_step = (t_big - t_small) / (s_big - s_small)
+    flops = (lm_train_flops(N_LAYER, N_EMBD, 4 * B * ba, ba, remat=True)
+             + lm_train_flops(N_LAYER, N_EMBD, B * bn, bn, remat=True))
+    return {"ba": ba, "bn": bn, "s_per_step": round(per_step, 4),
+            "step_tflop": round(flops / 1e12, 3),
+            "tflops": round(flops / per_step / 1e12, 1),
+            "mfu_pct": round(100.0 * flops / per_step / TPU_PEAK_FLOPS, 1)}
+
+
+def wikiv2_group_weights(resources: str):
+    """FLOP-weighted (ba, bn) group mix of a simulated wikiv2 epoch —
+    the same simulation the chunk-ladder auto decision runs."""
+    from rag4dyg_tpu.train.retriever import load_pairs
+
+    pairs = load_pairs(os.path.join(resources,
+                                    "train_retrieval/train_index.retrieval"))
+    with open(os.path.join(resources, "train.link_prediction")) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    lens = np.asarray([min(len(ln.split()), L) for ln in lines])
+    lb = np.minimum(-(-lens // 128) * 128, L)
+    sim = np.random.RandomState(0x5EED)
+    order = sim.permutation(len(pairs))
+    n_full = len(pairs) // B
+    idx = pairs[order[: n_full * B]].astype(np.int32).reshape(n_full, B, 3)
+    b_ap = lb[idx[:, :, :2]].max(axis=(1, 2))
+    b_ng = lb[idx[:, :, 2]].max(axis=1)
+    weights = {}
+    for ba, bn in zip(b_ap.tolist(), b_ng.tolist()):
+        cost = (lm_train_flops(N_LAYER, N_EMBD, 4 * B * ba, ba, remat=True)
+                + lm_train_flops(N_LAYER, N_EMBD, B * bn, bn, remat=True))
+        key = (int(ba), int(bn))
+        weights[key] = weights.get(key, 0.0) + cost
+    tot = sum(weights.values())
+    return {k: v / tot for k, v in weights.items()}, n_full
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4,
                     help="small scan length; big is 2x")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes / CPU correctness check")
+    ap.add_argument("--per-bucket", action="store_true",
+                    help="per-(ba,bn)-bucket-group s/step + MFU at the "
+                         "production config over the real wikiv2 mix")
+    ap.add_argument("--resources", default="runs/wikiv2/resources")
+    ap.add_argument("--top-groups", type=int, default=6)
     args = ap.parse_args()
     if args.smoke:
         _shrink_for_smoke()
@@ -119,6 +209,30 @@ def main():
         jax.config.update("jax_platforms", "cpu")  # before backend init
     from rag4dyg_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
+
+    if args.per_bucket:
+        weights, n_steps = wikiv2_group_weights(args.resources)
+        ranked = sorted(weights.items(), key=lambda kv: -kv[1])
+        print(json.dumps({"epoch_steps": n_steps,
+                          "flop_weights": {f"{k[0]}x{k[1]}": round(v, 4)
+                                           for k, v in ranked}}),
+              flush=True)
+        rows, covered, weighted_mfu = [], 0.0, 0.0
+        for (ba, bn), w in ranked[: args.top_groups]:
+            if args.smoke:
+                ba, bn = min(ba, L), min(bn, L)
+            r = bench_bucket(ba, bn, args.steps, 2 * args.steps)
+            r["flop_weight"] = round(w, 4)
+            rows.append(r)
+            covered += w
+            weighted_mfu += w * r["mfu_pct"]
+            print(json.dumps(r), flush=True)
+        print(json.dumps({
+            "summary": "per-bucket MFU (bf16+flash, wikiv2 mix)",
+            "covered_flop_weight": round(covered, 4),
+            "weighted_mfu_pct_over_covered":
+                round(weighted_mfu / max(covered, 1e-9), 1)}), flush=True)
+        return
 
     results = []
     configs = [("float32", "xla", "full"), ("float32", "flash", "full"),

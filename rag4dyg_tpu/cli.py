@@ -157,7 +157,7 @@ def cmd_train_retriever(args):
                           attention_impl=getattr(args, "attention_impl",
                                                  "xla") or "xla",
                           remat=getattr(args, "remat", "full") or "full",
-                          chunk_ladder=getattr(args, "chunk_ladder", False),
+                          chunk_ladder=getattr(args, "chunk_ladder", None),
                           gen_out_dir=os.path.join(args.resources,
                                                    "retrieval_result"),
                           save_every=getattr(args, "save_every", 0) or 0,
@@ -439,13 +439,19 @@ def main(argv=None):
                                  "outputs, recompute elementwise only), "
                                  "none")
             sp.add_argument("--chunk-ladder", action="store_true",
+                            default=None, dest="chunk_ladder",
                             help="retriever: cover each bucket group's "
                                  "step tail with a power-of-two chunk "
                                  "ladder instead of padding to one chunk "
                                  "size — bit-identical numerics; step "
                                  "padding 12.2%%->2.2%% at the wikiv2 "
                                  "shape for a few extra compiles "
-                                 "(RESULTS.md MFU accounting)")
+                                 "(RESULTS.md MFU accounting). Default "
+                                 "AUTO: on when the simulated flat plan "
+                                 "wastes >5%% FLOPs on padding")
+            sp.add_argument("--no-chunk-ladder", action="store_false",
+                            dest="chunk_ladder",
+                            help="force the single-chunk-size plan")
             sp.add_argument("--backbone", default=None,
                             help="backbone checkpoint dir for transfer")
             sp.add_argument("--save-every", type=int, default=0,

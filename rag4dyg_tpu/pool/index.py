@@ -120,11 +120,18 @@ class DenseIndex:
         PARITY.md). Replaces the host-side full argsort of a downloaded
         [B, N] f32 score matrix for .gen emission
         (reference: train/train_retriever.py:357-368).
+
+        Sharded pools: each shard scores its own rows, the [B, N] score
+        row is all-gathered over ICI, and every replica ranks the full
+        row — O(B·N) memory per device, so use this at reference pool
+        scales only; at the 1M-row north-star scale emit the top-k .gen
+        format instead (``topk_device`` + ``write_gen_files_topk``,
+        which keeps cross-shard traffic at O(k · n_shards)).
         """
         if self.mesh is not None:
-            raise NotImplementedError(
-                "full ranking of a mesh-sharded pool is intentionally "
-                "unsupported — emit a top-k .gen instead (topk_device)")
+            return _rank_sharded(jnp.asarray(queries), self.pool,
+                                 self.mesh, self.shard_axis,
+                                 self.n)[:, : self.n]
         return _rank_dense(jnp.asarray(queries), self.pool)
 
 
@@ -172,3 +179,25 @@ def _topk_sharded(queries, pool_sharded, k: int, mesh, axis: str,
         local, mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=(P(), P()), check_vma=False)(queries, pool_sharded)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_valid"))
+def _rank_sharded(queries, pool_sharded, mesh, axis: str, n_valid: int):
+    """Full stable descending ranking of a mesh-sharded pool: local
+    shard scoring, all-gather of the [B, N] score row, replicated
+    stable argsort. Padding rows scored -inf so they rank last."""
+    shard_map = jax.shard_map
+    n_shards = mesh.shape[axis]
+    shard_rows = pool_sharded.shape[0] // n_shards
+
+    def local(q, pool_block):
+        scores = _score_dense(q, pool_block)
+        base = jax.lax.axis_index(axis) * shard_rows
+        rows = jnp.arange(shard_rows) + base
+        scores = jnp.where(rows[None, :] < n_valid, scores, -jnp.inf)
+        s_all = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
+        return jnp.argsort(-s_all, axis=1, stable=True).astype(jnp.int32)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(axis, None)),
+                     out_specs=P(), check_vma=False)(queries, pool_sharded)

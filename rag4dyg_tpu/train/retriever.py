@@ -483,6 +483,28 @@ def write_gen_files(scores: np.ndarray, out_dir: str, split: str,
             g.write(" ".join(f"{x:.4f}" for x in scores[i]) + "\n")
 
 
+def write_gen_files_topk(topk_scores: np.ndarray, topk_indices: np.ndarray,
+                         out_dir: str, split: str) -> None:
+    """Top-k .gen emission for mesh-sharded pools (VERDICT r4 #3).
+
+    Format delta vs the reference (documented in PARITY.md): index rows
+    hold only the top-k ranking (the generator reads just the top
+    ``top_k``=7 of them — reference dataloader/generator.py:29-44), and
+    score rows hold the scores OF THOSE k entries in rank order rather
+    than all N pool-order scores ('%.4f' like the reference,
+    train/train_retriever.py:444-456) — a 1M-wide pool-order score row
+    is exactly the artifact a sharded pool exists to avoid. Rankings
+    come from ``DenseIndex.topk`` whose sharded merge keeps the same
+    canonical tie order (score desc, pool index asc) at every shard
+    count."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{split}_index.gen"), "w") as f, \
+         open(os.path.join(out_dir, f"{split}_score.gen"), "w") as g:
+        for i in range(topk_indices.shape[0]):
+            f.write(" ".join(str(int(x)) for x in topk_indices[i]) + "\n")
+            g.write(" ".join(f"{x:.4f}" for x in topk_scores[i]) + "\n")
+
+
 def load_pairs(path: str) -> np.ndarray:
     with open(path) as f:
         rows = [list(map(int, ln.split())) for ln in f.read().splitlines()
@@ -504,7 +526,7 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
                     seed: Optional[int] = None, dtype: str = "float32",
                     attention_impl: str = "xla", remat: str = "full",
                     eval_batch_size: int = 32, accumulate_steps: int = 1,
-                    chunk_ladder: bool = False,
+                    chunk_ladder: Optional[bool] = None,
                     max_steps_per_epoch: Optional[int] = None,
                     max_eval_queries: Optional[int] = None,
                     gen_out_dir: Optional[str] = None,
@@ -723,6 +745,37 @@ def train_retriever(spec: DatasetSpec, resources_dir: str, out_dir: str, *,
         if rem:
             sizes.append(8)                    # final, partially masked
         return sizes
+
+    if chunk_ladder is None:
+        # Auto-enable (VERDICT r4 #5): simulate one epoch's bucket-group
+        # composition on a DECISION-ONLY rng (the training streams must
+        # stay untouched — recorded runs replay bit-exactly) and predict
+        # the flat plan's FLOP-weighted padding; ladder on when > 5%.
+        # The ladder itself is numerics-identical either way
+        # (tests/test_retriever_step.py); the only cost is one-time
+        # extra shape compiles, disk-cached after the first run.
+        sim = np.random.RandomState((seed or 0) ^ 0x5EED)
+        order = sim.permutation(n_pairs)
+        sim_full = n_pairs // B
+        if max_steps_per_epoch:
+            sim_full = min(sim_full, max_steps_per_epoch)
+        pad_cost = tot_cost = 0.0
+        if sim_full:
+            sim_idx = pairs[order[: sim_full * B]].astype(np.int32)
+            sim_idx = sim_idx.reshape(sim_full, B, 3)
+            b_ap = line_bucket[sim_idx[:, :, :2]].max(axis=(1, 2))
+            b_ng = line_bucket[sim_idx[:, :, 2]].max(axis=1)
+            for ba, bn in sorted(set(zip(b_ap.tolist(), b_ng.tolist()))):
+                n_sel = int(((b_ap == ba) & (b_ng == bn)).sum())
+                ch = chunk_steps(ba, bn, n_sel)
+                step_cost = 4 * ba + bn       # per-step encoder passes
+                pad_cost += (-(-n_sel // ch) * ch - n_sel) * step_cost
+                tot_cost += n_sel * step_cost
+        frac = pad_cost / max(tot_cost, 1.0)
+        chunk_ladder = frac > 0.05
+        logger.info("chunk-ladder auto: predicted flat-plan FLOP padding "
+                    "%.1f%% -> %s", 100 * frac,
+                    "ladder" if chunk_ladder else "flat")
     dispatch_timer = StepTimer()
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
