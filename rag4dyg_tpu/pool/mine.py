@@ -227,16 +227,26 @@ def _exact_candidates(idx_row, int_in_row, int_out_row, val_row, i,
     # the diagonal can be a legitimate zero-backfill candidate; its host
     # matrix value is 0 (fill_diagonal), not |set|/|set|
     q_in = np.where(idx == i, 0.0, q_in)
-    order = np.argsort(-q_in, kind="stable")
-    kept = order[:n_take]
+    # canonical order: exact score desc, POOL INDEX asc. The explicit
+    # index key matters: TPU f32 division is approximate (fl(2/12) !=
+    # fl(3/18) observed on chip), so the device's downloaded order does
+    # not tie-break exact-equal quotients by index the way lax.top_k's
+    # rule suggests — a position-stable resort inherited that noise.
+    kept = np.lexsort((idx, -q_in))[:n_take]
     safe = True
     if truncated and kept.size == n_take:
         boundary = float(val_row[real][-1]) if real.all() else -1.0
         kept_last = float(q_in[kept[-1]])
-        if boundary > 0.0 and not collision_free:
-            # outside candidates have f32 q <= boundary; their exact q
-            # <= boundary*(1+2^-23). The kept tail must beat that.
-            safe = kept_last > boundary * (1.0 + 2.4e-7)
+        if boundary > 0.0:
+            # outside candidates have device-f32 q <= boundary; their
+            # exact q <= boundary*(1+eps) with eps covering both f32
+            # rounding and the TPU's ~few-ulp division approximation.
+            # This check must run even for collision-free pools:
+            # division noise splits EXACT ties, so top_k's index tie
+            # rule no longer guarantees the lowest-index tied members
+            # were the ones downloaded — a tie straddling the download
+            # boundary always forces the exact host fallback.
+            safe = kept_last > boundary * (1.0 + 1e-6)
     q_out = _exact_q(int_out_row[real], sz_out[i], sz_out[idx])
     q_out = np.where(idx == i, 0.0, q_out)
     return [(int(idx[j]), float(q_out[j])) for j in kept], safe
@@ -261,7 +271,7 @@ def mine_pool_device(
         vocab_size: int, *, threshold: float, neg_num: int, gt_topk: int,
         max_positives: Optional[int], rng: np.random.RandomState,
         row_block: int = 1024, vocab_chunk: int = DEFAULT_VOCAB_CHUNK,
-        k_pos: int = 64, margin: int = 6, engine: str = "auto",
+        k_pos: int = 64, margin: int = 26, engine: str = "auto",
         out_sets: Optional[List[set]] = None,
         in_sets: Optional[List[set]] = None) -> MinedPool:
     """Mine (anchor, positive, negative) triples + gt top-k on device.
@@ -272,7 +282,11 @@ def mine_pool_device(
     Jaccard only needs set identity, so ids are equivalent).
     ``engine``: intersection engine per matrix — "matmul" (one-hot MXU),
     "compare" (padded-id equality, VPU), or "auto" by the L²-vs-V/16
-    cost rule.
+    cost rule. ``margin``: extra top-k slots downloaded per candidate
+    list — a download boundary landing inside a group of exact-tied
+    scores forces the exact host fallback (TPU division noise breaks
+    tie order), so a generous margin trades a few tiny gathers for far
+    fewer O(N) fallback rows on tie-heavy pools.
     """
     n = len(out_ids)
     assert len(in_ids) == n
@@ -316,7 +330,12 @@ def mine_pool_device(
     sz_in = jnp.asarray(np.concatenate([sz_in_h.astype(np.float32), pad]))
 
     max_u = 2 * int(max(sz_out_h.max(initial=0), sz_in_h.max(initial=0)))
-    collision_free = max_u * max_u < 2 ** 23
+    # distinct rationals p1/u1 != p2/u2 differ by >= 1/(u1·u2); they
+    # provably keep distinct, correctly-ordered device-f32 values only
+    # when that gap beats BOTH f32 rounding and the TPU's approximate
+    # division (~few ulp — observed on chip): gap > 2^-21 is safe with
+    # ~4-ulp margin. Beyond that, truncation boundaries fall back.
+    collision_free = max_u * max_u < 2 ** 21
 
     k_pos_eff = min(n, max_positives if max_positives is not None else k_pos)
     neg_k = min(n, neg_num + margin)

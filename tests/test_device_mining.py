@@ -73,8 +73,12 @@ def test_device_mining_bitwise_uci(uci_ids):
     _assert_equal(mined, _host_stable(out_ids, in_ids, vocab))
     assert len(mined.train_pairs) > 0
     assert mined.stats.collision_free
-    # UCI Jaccards are p/q with q < 2^17: no f32 ambiguity band hits
-    assert mined.stats.fallback_rows == 0
+    # no threshold-band ambiguity on UCI; boundary-tie fallbacks are
+    # expected (exact ties straddling the download boundary must go to
+    # the host — TPU division noise breaks top_k's index tie rule) but
+    # must stay a small minority
+    assert mined.stats.fallback_reasons["ambiguous_threshold"] == 0
+    assert mined.stats.fallback_rows < 0.05 * mined.stats.n_pool
 
 
 def test_device_mining_synthetic_ties_and_blocks():
