@@ -49,12 +49,33 @@ def load_real(resources: str, timestep: int):
 
 
 def synth_ids(n: int, vocab: int, avg: int, seed: int):
+    """Cluster-structured synthetic pool: rows draw from ~n/5 template
+    sets (exact copies + one-element perturbations), so threshold-0.8
+    positives, exact-tie groups, and hard-negative structure all exist
+    at scale — iid random sets never overlap 80%, which made the first
+    100k run mine zero pairs (an empty demo of the mining path)."""
     rng = np.random.RandomState(seed)
-    mk = lambda k: [  # noqa: E731
-        np.unique(rng.randint(0, vocab,
-                              size=max(1, rng.poisson(k)))).tolist()
-        for _ in range(n)]
-    return mk(avg), mk(2 * avg)
+    n_templates = max(1, n // 5)
+    templates = [np.unique(rng.randint(0, vocab,
+                                       size=max(2, rng.poisson(avg))))
+                 for _ in range(min(n_templates, n))]
+
+    def mk_clustered():
+        out = []
+        for _ in range(n):
+            t = templates[rng.randint(len(templates))]
+            r = rng.rand()
+            if r < 0.5:
+                out.append(t.tolist())                     # exact tie
+            elif r < 0.8:
+                extra = rng.randint(0, vocab)              # |t|/(|t|+1)
+                out.append(np.union1d(t, [extra]).tolist())
+            else:
+                out.append(np.unique(rng.randint(
+                    0, vocab, size=max(1, rng.poisson(avg)))).tolist())
+        return out
+
+    return mk_clustered(), mk_clustered()
 
 
 def run_device(out_ids, in_ids, vocab, spec, seed, engine):
