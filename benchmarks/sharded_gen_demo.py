@@ -73,6 +73,8 @@ def mode_1m(rows: int, queries: int, k: int):
 
 
 def mode_generator():
+    import dataclasses
+
     import numpy as np
     jax = _setup()
     from rag4dyg_tpu.config import DATASETS
@@ -81,7 +83,13 @@ def mode_generator():
     from rag4dyg_tpu.train.generator import train_generator
     from rag4dyg_tpu.train.retriever import write_gen_files_topk
 
+    # smoke dims (the cli --smoke shrink): this demo pins the sharded
+    # WRITER -> generator consumption path, not model quality — the
+    # full-dim compile alone is ~30+ min on this 1-core host
     spec = DATASETS["UCI_13"]
+    spec = dataclasses.replace(
+        spec, n_layer=2, n_head=2, n_embd=64, batch_size=16,
+        generator=dataclasses.replace(spec.generator, batch_size=16))
     res = "runs/uci_masked/resources"
     with open(os.path.join(res, "train.link_prediction")) as f:
         n_pool = sum(1 for ln in f if ln.strip())
@@ -105,10 +113,9 @@ def mode_generator():
 
     out = tempfile.mkdtemp(prefix="sharded_genrun_")
     r = train_generator(
-        spec, res, out,
-        backbone_ckpt="runs/uci_masked/backbone_r2b/checkpoint-best",
+        spec, res, out, backbone_ckpt=None,
         retrieval_dir=ret_dir, epochs=1, seed=0,
-        max_steps_per_epoch=20, max_eval_queries=16)
+        max_steps_per_epoch=8, max_eval_queries=16)
     return {"mode": "generator", "retrieval_dir": ret_dir,
             "topk_format_rows": 50, "pool": n_pool,
             "best_epoch": r.best_epoch, "val": r.val_metrics,
