@@ -25,16 +25,20 @@ miner on every dataset):
   * Candidate ORDER is re-derived on host in f64 from the downloaded
     integer intersection counts (f64 is exact for rationals with
     denominators < 2^17, whose pairwise gaps ≥ 2^-34 dwarf f64
-    rounding). Truncated candidate lists carry a boundary-safety proof:
+    rounding), sorted by (exact score desc, POOL INDEX asc) — the
+    device's own download order cannot be trusted for ties because TPU
+    f32 division is approximate (fl(2/12) != fl(3/18) observed on
+    chip), which breaks ``lax.top_k``'s index tie rule for exact-equal
+    quotients. Truncated candidate lists carry a boundary-safety proof:
     the kept tail must beat the largest possible exact value hiding
-    behind the smallest downloaded f32 score, unless the dataset is
-    globally collision-free ((2·max_set)² < 2^23 ⇒ distinct rationals
-    stay distinct and ordered in f32) or the boundary is exactly 0
-    (an f32 quotient of positive ints can never round to 0).
+    behind the smallest downloaded f32 score (margin covering both f32
+    rounding and division noise) — a tie straddling the download
+    boundary always falls back — unless the boundary is exactly 0 (a
+    quotient of positive ints can never evaluate to 0, even
+    approximately).
   * Tie order everywhere is descending score, ascending pool index —
-    ``lax.top_k``'s documented tie rule, matching
-    ``mine_train_pairs(stable=True)`` / stable ``np.argsort``. The
-    reference's unstable introsort tie order is canonicalized, as
+    matching ``mine_train_pairs(stable=True)`` / stable ``np.argsort``.
+    The reference's unstable introsort tie order is canonicalized, as
     PARITY.md documents for the eval rankings.
 
 Negative sampling stays host-side with the caller's RNG, consumed in
@@ -213,8 +217,7 @@ def _exact_q(inter: np.ndarray, sz_a, sz_b) -> np.ndarray:
 
 
 def _exact_candidates(idx_row, int_in_row, int_out_row, val_row, i,
-                      sz_in, sz_out, n_take: int, truncated: bool,
-                      collision_free: bool):
+                      sz_in, sz_out, n_take: int, truncated: bool):
     """Re-derive the exact candidate order on host: f64 score desc,
     pool-index asc (stable). Returns (ordered [(idx, q_out_f64)],
     safe) where safe=False means the truncation boundary cannot be
@@ -384,15 +387,13 @@ def mine_pool_device(
                     cand["c1_idx"][i], cand["c1_int_in"][i],
                     cand["c1_int_out"][i], cand["c1_val"][i], i,
                     sz_in_h, sz_out_h, neg_num,
-                    truncated=int(cand["n1_cnt"][i]) > neg_k,
-                    collision_free=collision_free)
+                    truncated=int(cand["n1_cnt"][i]) > neg_k)
                 need2 = neg_num - len(c1)
                 c2, safe2 = ([], True) if need2 <= 0 else _exact_candidates(
                     cand["c2_idx"][i], cand["c2_int_in"][i],
                     np.zeros_like(cand["c2_int_in"][i]),  # out-sim == 0
                     cand["c2_val"][i], i, sz_in_h, sz_out_h, need2,
-                    truncated=int(cand["n2_cnt"][i]) > neg_k,
-                    collision_free=collision_free)
+                    truncated=int(cand["n2_cnt"][i]) > neg_k)
                 if not (safe1 and safe2):
                     need_fallback = "neg_boundary"
                 negs = c1 + c2
@@ -403,7 +404,7 @@ def mine_pool_device(
             g, safe_g = _exact_candidates(
                 cand["g_idx"][i], cand["g_int"][i], cand["g_int"][i],
                 cand["g_val"][i], i, sz_out_h, sz_out_h, gt_topk,
-                truncated=n > gt_k, collision_free=collision_free)
+                truncated=n > gt_k)
             if not safe_g:
                 need_fallback = "gt_boundary"
             else:
