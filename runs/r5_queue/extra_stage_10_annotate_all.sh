@@ -11,6 +11,7 @@ for spec in "UCI_13 uci_masked" "dialog dialog" "hepth hepth" \
             "enron enron_full" "wikiv2 wikiv2" "reddit reddit"; do
   set -- $spec
   ds=$1; dir=$2
+  [ -s "$OUT/$ds.json" ] && { echo "have $ds"; continue; }
   extra=""
   [ "$ds" = wikiv2 ] && extra="--with-r4-path"
   echo "=== $ds ==="
