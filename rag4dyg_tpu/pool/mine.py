@@ -172,8 +172,32 @@ def _mine_block(inter_o, inter_i, sz_out, sz_in, row0, n_valid, t_lo,
         # — the diagonal stays a live candidate with value 0
         return jnp.where(diag, 0.0, q)
 
+    def q24(inter, sz):
+        """floor(inter·2^24 / union): an EXACT 24-bit fixed-point
+        quotient via three 8-bit integer long-division steps (all
+        intermediates < 2^26, int32). Candidate ordering uses this key
+        instead of the f32 quotient because TPU f32 division is
+        approximate — it splits exact ties and broke lax.top_k's
+        index tie rule (observed on chip). The key is monotone in the
+        exact quotient; key ties with unions < 4096 ARE exact ties, so
+        top_k's lowest-index rule gives the canonical order and no
+        host fallback is needed at tie boundaries. Exactly
+        representable in f32 (≤ 2^24) for top_k."""
+        sz_rows = jax.lax.dynamic_slice_in_dim(sz, row0, block, 0)
+        i = inter.astype(jnp.int32)
+        u = jnp.maximum((sz_rows[:, None] + sz[None, :]).astype(jnp.int32)
+                        - i, 1)
+        d1 = (i << 8) // u
+        r1 = (i << 8) - d1 * u
+        d2 = (r1 << 8) // u
+        r2 = (r1 << 8) - d2 * u
+        d3 = (r2 << 8) // u
+        key = (d1 << 16) + (d2 << 8) + d3
+        return jnp.where(diag, 0, key).astype(jnp.float32)
+
     q_out = quotient(inter_o, sz_out)
-    q_in = quotient(inter_i, sz_in)
+    k_out = q24(inter_o, sz_out)
+    k_in = q24(inter_i, sz_in)
 
     pos_loose = (q_out > t_lo) & valid
     pos_tight = (q_out > t_hi) & valid
@@ -190,15 +214,15 @@ def _mine_block(inter_o, inter_i, sz_out, sz_in, row0, n_valid, t_lo,
     out_nonzero = (inter_o > 0.5) & ~diag
     neg1 = ~pos_loose & out_nonzero & valid
     neg2 = ~pos_loose & ~out_nonzero & valid
-    c1_val, c1_idx = jax.lax.top_k(jnp.where(neg1, q_in, -1.0), neg_k)
-    c2_val, c2_idx = jax.lax.top_k(jnp.where(neg2, q_in, -1.0), neg_k)
+    c1_val, c1_idx = jax.lax.top_k(jnp.where(neg1, k_in, -1.0), neg_k)
+    c2_val, c2_idx = jax.lax.top_k(jnp.where(neg2, k_in, -1.0), neg_k)
     n1_cnt = jnp.sum(neg1, 1)
     n2_cnt = jnp.sum(neg2, 1)
     c1_int_in = jnp.take_along_axis(inter_i, c1_idx, 1)
     c1_int_out = jnp.take_along_axis(inter_o, c1_idx, 1)
     c2_int_in = jnp.take_along_axis(inter_i, c2_idx, 1)
 
-    g_val, g_idx = jax.lax.top_k(jnp.where(valid, q_out, -1.0), gt_k)
+    g_val, g_idx = jax.lax.top_k(jnp.where(valid, k_out, -1.0), gt_k)
     g_int = jnp.take_along_axis(inter_o, g_idx, 1)
 
     return dict(pos_cnt=pos_cnt, ambig_cnt=ambig_cnt, pos_idx=pos_idx,
@@ -217,11 +241,20 @@ def _exact_q(inter: np.ndarray, sz_a, sz_b) -> np.ndarray:
 
 
 def _exact_candidates(idx_row, int_in_row, int_out_row, val_row, i,
-                      sz_in, sz_out, n_take: int, truncated: bool):
+                      sz_in, sz_out, n_take: int, truncated: bool,
+                      key_ties_exact: bool):
     """Re-derive the exact candidate order on host: f64 score desc,
     pool-index asc (stable). Returns (ordered [(idx, q_out_f64)],
     safe) where safe=False means the truncation boundary cannot be
-    proven exact and the row needs a host fallback."""
+    proven exact and the row needs a host fallback.
+
+    ``val_row`` holds the device's exact 24-bit fixed-point quotient
+    keys (q24 in _mine_block), so the truncation boundary is an integer
+    comparison: the kept tail is provably complete when its key beats
+    the smallest downloaded key, or ties it on a pool whose unions are
+    < 4096 (``key_ties_exact`` — there a key tie IS an exact tie, and
+    the noise-free key restores top_k's lowest-index tie rule, so the
+    lowest-index tied members are exactly the ones downloaded)."""
     real = val_row >= 0.0
     idx = idx_row[real]
     if idx.size == 0:
@@ -230,26 +263,24 @@ def _exact_candidates(idx_row, int_in_row, int_out_row, val_row, i,
     # the diagonal can be a legitimate zero-backfill candidate; its host
     # matrix value is 0 (fill_diagonal), not |set|/|set|
     q_in = np.where(idx == i, 0.0, q_in)
-    # canonical order: exact score desc, POOL INDEX asc. The explicit
-    # index key matters: TPU f32 division is approximate (fl(2/12) !=
-    # fl(3/18) observed on chip), so the device's downloaded order does
-    # not tie-break exact-equal quotients by index the way lax.top_k's
-    # rule suggests — a position-stable resort inherited that noise.
+    # canonical order: exact score desc, POOL INDEX asc (the device's
+    # download order ties by index only per equal KEY; the exact resort
+    # also fixes sub-key-resolution order on large-union pools)
     kept = np.lexsort((idx, -q_in))[:n_take]
     safe = True
     if truncated and kept.size == n_take:
-        boundary = float(val_row[real][-1]) if real.all() else -1.0
-        kept_last = float(q_in[kept[-1]])
-        if boundary > 0.0:
-            # outside candidates have device-f32 q <= boundary; their
-            # exact q <= boundary*(1+eps) with eps covering both f32
-            # rounding and the TPU's ~few-ulp division approximation.
-            # This check must run even for collision-free pools:
-            # division noise splits EXACT ties, so top_k's index tie
-            # rule no longer guarantees the lowest-index tied members
-            # were the ones downloaded — a tie straddling the download
-            # boundary always forces the exact host fallback.
-            safe = kept_last > boundary * (1.0 + 1e-6)
+        boundary_key = int(val_row[real][-1]) if real.all() else -1
+        j = kept[-1]
+        if idx[j] == i:
+            kept_key = 0
+        else:
+            inter = int(int_in_row[real][j])
+            union = int(sz_in[i]) + int(sz_in[idx[j]]) - inter
+            kept_key = (inter << 24) // union if union > 0 else 0
+        if kept_key < boundary_key:  # exact resort can reorder keys
+            safe = False             # only within ties; anything else
+        elif kept_key == boundary_key:  # means a hidden better tail
+            safe = key_ties_exact
     q_out = _exact_q(int_out_row[real], sz_out[i], sz_out[idx])
     q_out = np.where(idx == i, 0.0, q_out)
     return [(int(idx[j]), float(q_out[j])) for j in kept], safe
@@ -338,6 +369,13 @@ def mine_pool_device(
     # when that gap beats BOTH f32 rounding and the TPU's approximate
     # division (~few ulp — observed on chip): gap > 2^-21 is safe with
     # ~4-ulp margin. Beyond that, truncation boundaries fall back.
+    # key-tie exactness: the device orders candidates by an exact
+    # 24-bit fixed-point quotient key; a key tie is an exact Jaccard
+    # tie iff distinct rationals can't collide at 2^-24 resolution,
+    # i.e. 1/(u1·u2) >= 2^-24  <=>  max union < 4096 (true for every
+    # reference dataset). collision_free (reported in stats) keeps the
+    # f32-era meaning for observability.
+    key_ties_exact = max_u < 4096
     collision_free = max_u * max_u < 2 ** 21
 
     k_pos_eff = min(n, max_positives if max_positives is not None else k_pos)
@@ -387,13 +425,15 @@ def mine_pool_device(
                     cand["c1_idx"][i], cand["c1_int_in"][i],
                     cand["c1_int_out"][i], cand["c1_val"][i], i,
                     sz_in_h, sz_out_h, neg_num,
-                    truncated=int(cand["n1_cnt"][i]) > neg_k)
+                    truncated=int(cand["n1_cnt"][i]) > neg_k,
+                    key_ties_exact=key_ties_exact)
                 need2 = neg_num - len(c1)
                 c2, safe2 = ([], True) if need2 <= 0 else _exact_candidates(
                     cand["c2_idx"][i], cand["c2_int_in"][i],
                     np.zeros_like(cand["c2_int_in"][i]),  # out-sim == 0
                     cand["c2_val"][i], i, sz_in_h, sz_out_h, need2,
-                    truncated=int(cand["n2_cnt"][i]) > neg_k)
+                    truncated=int(cand["n2_cnt"][i]) > neg_k,
+                    key_ties_exact=key_ties_exact)
                 if not (safe1 and safe2):
                     need_fallback = "neg_boundary"
                 negs = c1 + c2
@@ -404,7 +444,7 @@ def mine_pool_device(
             g, safe_g = _exact_candidates(
                 cand["g_idx"][i], cand["g_int"][i], cand["g_int"][i],
                 cand["g_val"][i], i, sz_out_h, sz_out_h, gt_topk,
-                truncated=n > gt_k)
+                truncated=n > gt_k, key_ties_exact=key_ties_exact)
             if not safe_g:
                 need_fallback = "gt_boundary"
             else:
