@@ -22,20 +22,19 @@ miner on every dataset):
     (1/(5·union) ≥ 1.5e-6 for union < 2^17), so the loose/tight masks
     bracket the exact f64 decision; rows where they disagree fall back
     to exact host mining (counted in ``MineStats.fallback_rows``).
-  * Candidate ORDER is re-derived on host in f64 from the downloaded
-    integer intersection counts (f64 is exact for rationals with
-    denominators < 2^17, whose pairwise gaps ≥ 2^-34 dwarf f64
-    rounding), sorted by (exact score desc, POOL INDEX asc) — the
-    device's own download order cannot be trusted for ties because TPU
-    f32 division is approximate (fl(2/12) != fl(3/18) observed on
-    chip), which breaks ``lax.top_k``'s index tie rule for exact-equal
-    quotients. Truncated candidate lists carry a boundary-safety proof:
-    the kept tail must beat the largest possible exact value hiding
-    behind the smallest downloaded f32 score (margin covering both f32
-    rounding and division noise) — a tie straddling the download
-    boundary always falls back — unless the boundary is exactly 0 (a
-    quotient of positive ints can never evaluate to 0, even
-    approximately).
+  * Candidate SELECTION on device orders by an exact 24-bit fixed-point
+    quotient key (``q24``: three 8-bit integer long-division steps, all
+    int32) — NOT the f32 quotient: TPU f32 division is approximate
+    (fl(2/12) != fl(3/18) observed on chip), which silently split exact
+    ties and broke ``lax.top_k``'s lowest-index tie rule. With the
+    integer key, key ties are exact Jaccard ties whenever unions stay
+    below 4096 (every reference dataset), so top_k's tie rule is
+    trustworthy again. Candidate ORDER is still re-derived on host in
+    f64 from the downloaded integer intersection counts (exact for
+    these rationals), sorted by (score desc, POOL INDEX asc); a
+    truncated list is accepted only when its kept tail's integer key
+    strictly beats the smallest downloaded key — or ties it on a
+    key-ties-exact pool — else the row falls back to exact host mining.
   * Tie order everywhere is descending score, ascending pool index —
     matching ``mine_train_pairs(stable=True)`` / stable ``np.argsort``.
     The reference's unstable introsort tie order is canonicalized, as
