@@ -22,6 +22,7 @@ res = train_retriever(
     "runs/wikiv2/retriever_ladder_default",
     backbone_ckpt="runs/wikiv2/backbone_r2b/checkpoint-best",
     epochs=3, dtype="bfloat16", attention_impl="flash",
+    save_every=1, resume=True,  # tonight's relay drops ~every 10 min
     gen_out_dir="runs/wikiv2/retriever_ladder_default/retrieval_result")
 print("LADDER_DEFAULT_DONE", res.best_epoch, res.val_metrics)
 EOF
