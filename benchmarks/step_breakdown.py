@@ -165,16 +165,25 @@ def bench_bucket(ba: int, bn: int, s_small: int, s_big: int,
 
 
 def wikiv2_group_weights(resources: str):
-    """FLOP-weighted (ba, bn) group mix of a simulated wikiv2 epoch —
-    the same simulation the chunk-ladder auto decision runs."""
-    from rag4dyg_tpu.train.retriever import load_pairs
+    """FLOP-weighted (ba, bn) group mix of a simulated wikiv2 epoch,
+    using the trainer's EXACT bucketing inputs: history-only lines,
+    tokenizer-encoded, block-size-truncated (train/retriever.py:555,
+    619-626) — bucketing on raw full-line token counts put 86% of the
+    FLOP weight at ba=128 where the real run is ~63% ba=512 steps."""
+    from rag4dyg_tpu.data.serialize import read_corpus_lines
+    from rag4dyg_tpu.data.vocab import Tokenizer
+    from rag4dyg_tpu.train.retriever import history_lines, load_pairs
 
     pairs = load_pairs(os.path.join(resources,
                                     "train_retrieval/train_index.retrieval"))
-    with open(os.path.join(resources, "train.link_prediction")) as f:
-        lines = [ln for ln in f.read().splitlines() if ln.strip()]
-    lens = np.asarray([min(len(ln.split()), L) for ln in lines])
-    lb = np.minimum(-(-lens // 128) * 128, L)
+    lines = read_corpus_lines(os.path.join(resources,
+                                           "train.link_prediction"))
+    tok = Tokenizer.from_vocab_file(os.path.join(resources, "vocab.json"),
+                                    timestep=15)
+    pool = tok.encode_batch(history_lines(lines), max_len=L)
+    pool_len = min(L, -(-max(len(s) for s in pool) // 64) * 64)
+    lens = np.minimum(np.array([max(1, len(s)) for s in pool]), pool_len)
+    lb = np.minimum(-(-lens // 128) * 128, pool_len)
     sim = np.random.RandomState(0x5EED)
     order = sim.permutation(len(pairs))
     n_full = len(pairs) // B
