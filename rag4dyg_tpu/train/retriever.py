@@ -170,7 +170,7 @@ def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
                              temperature: float, lambda_decay: float,
                              eta: float, gamma: float, mask_token: int,
                              pad_id: int, pool_mode: str, remat: str,
-                             constrain=None):
+                             constrain=None, neg_pass_scan: bool = False):
     """The shared CLtime + α·info-NCE loss body used by both the
     single-device step and the mesh-sharded step (parallel/mesh.py) —
     one definition so remat modes, scan structure, and loss math can
@@ -242,7 +242,21 @@ def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
                 return None, encode(ids, r)
             _, embs = jax.lax.scan(body, None, (stacked, pass_rngs))
             h_a, h_p, z1, z2 = embs
-            h_n = encode(neg, fold(2))
+            if neg_pass_scan:
+                # length-1 scan: numerically the body itself, but
+                # compiled as its own while-loop computation — isolates
+                # the long neg pass from the surrounding program's
+                # layout/schedule choices. Measured on chip (round 5,
+                # benchmarks/step_breakdown.py --per-bucket): the
+                # inlined lone neg pass ran at ~20 TFLOPS inside the
+                # (ba=128, bn=512) program (15.3% step MFU on wikiv2's
+                # DOMINANT group) while the identical subgraph in the
+                # (256, 512)/(128, 384) programs ran at ~65 TFLOPS.
+                _, h_n1 = jax.lax.scan(
+                    body, None, (neg[None], fold(2)[None]))
+                h_n = h_n1[0]
+            else:
+                h_n = encode(neg, fold(2))
         cl = cltime_loss(h_a, h_p, h_n, a_t, p_t, n_t,
                          temperature=temperature,
                          decay_rate=lambda_decay)
@@ -256,7 +270,8 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
                               temperature: float, lambda_decay: float,
                               eta: float, gamma: float, mask_token: int,
                               pad_id: int, pool_mode: str = "masked",
-                              remat: str = "full"):
+                              remat: str = "full",
+                              neg_pass_scan: bool = False):
     """The triple batch is gathered ON DEVICE from the resident padded
     pool — each step ships only [B, 3] indices + times to the device
     instead of three [B, L] token arrays (the host->device transfer was
@@ -265,7 +280,7 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
         model, alpha=alpha, temperature=temperature,
         lambda_decay=lambda_decay, eta=eta, gamma=gamma,
         mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode,
-        remat=remat)
+        remat=remat, neg_pass_scan=neg_pass_scan)
 
     @jax.jit
     def step(params, opt_state, pool_ids, idx, a_t, p_t, n_t, rng,
@@ -300,7 +315,8 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
                             temperature: float, lambda_decay: float,
                             eta: float, gamma: float, mask_token: int,
                             pad_id: int, pool_mode: str = "masked",
-                            remat: str = "full"):
+                            remat: str = "full",
+                            neg_pass_scan: bool = False):
     """Whole-epoch ``lax.scan`` over the step batches: ONE device dispatch
     per epoch (plus one for any remainder batch) instead of one per step —
     through a ~30ms-latency remote tunnel this is the difference between
@@ -309,7 +325,7 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
         model, optimizer, alpha=alpha, temperature=temperature,
         lambda_decay=lambda_decay, eta=eta, gamma=gamma,
         mask_token=mask_token, pad_id=pad_id, pool_mode=pool_mode,
-        remat=remat)
+        remat=remat, neg_pass_scan=neg_pass_scan)
 
     @jax.jit
     def epoch(params, opt_state, pool_ids, idx_all, a_t, p_t, n_t, rngs,

@@ -148,6 +148,42 @@ def test_split_neg_layout_matches_joint():
     assert moved
 
 
+def test_neg_pass_scan_bit_identical():
+    """neg_pass_scan wraps the lone split-layout negative pass in a
+    length-1 lax.scan (an XLA-scheduling isolation measure for the
+    (ba=128, bn=512) wikiv2 group — see RESULTS.md per-bucket MFU).
+    A scan of length 1 is numerically the body itself: loss and updated
+    params must be BIT-identical."""
+    cfg = ModelConfig(vocab_size=V, n_layer=2, n_head=2, n_embd=32,
+                      n_positions=64)
+    model = GPT2LMModel(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(params, linear_warmup_linear_decay(1e-4, 0, 100))
+    rng = np.random.RandomState(2)
+    pool = np.full((N, L), 0, np.int32)
+    lens = rng.randint(2, L - 4, N)
+    for i, ln in enumerate(lens):
+        pool[i, :ln] = rng.randint(1, V - 2, ln)
+    pool_long = np.concatenate([pool, np.zeros((N, L), np.int32)], axis=1)
+    idx = jnp.asarray(rng.randint(0, N, (B, 3)), jnp.int32)
+    times = jnp.asarray(rng.rand(B, 3), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    outs = []
+    for flag in (False, True):
+        step = make_retriever_train_step(
+            model, opt, alpha=1.0, temperature=0.1, lambda_decay=0.1,
+            eta=0.8, gamma=0.4, mask_token=V - 1, pad_id=0,
+            neg_pass_scan=flag)
+        outs.append(step(params, opt.init(params), jnp.asarray(pool), idx,
+                         times[:, 0], times[:, 1], times[:, 2], key,
+                         pool_ids_neg=jnp.asarray(pool_long)))
+    (p0, _, l0, cl0, au0), (p1, _, l1, cl1, au1) = outs
+    assert float(l0) == float(l1) and float(cl0) == float(cl1)
+    assert float(au0) == float(au1)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), p0, p1))
+
+
 def test_epoch_scan_accepts_neg_view():
     """The whole-epoch scan threads pool_ids_neg through to the step and
     still masks invalid steps bit-exactly."""
