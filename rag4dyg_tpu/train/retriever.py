@@ -170,7 +170,7 @@ def make_contrastive_loss_fn(model: GPT2LMModel, *, alpha: float,
                              temperature: float, lambda_decay: float,
                              eta: float, gamma: float, mask_token: int,
                              pad_id: int, pool_mode: str, remat: str,
-                             constrain=None, neg_pass_scan: bool = False):
+                             constrain=None, neg_pass_scan: bool = True):
     """The shared CLtime + α·info-NCE loss body used by both the
     single-device step and the mesh-sharded step (parallel/mesh.py) —
     one definition so remat modes, scan structure, and loss math can
@@ -271,7 +271,7 @@ def make_retriever_train_step(model: GPT2LMModel, optimizer, *, alpha: float,
                               eta: float, gamma: float, mask_token: int,
                               pad_id: int, pool_mode: str = "masked",
                               remat: str = "full",
-                              neg_pass_scan: bool = False):
+                              neg_pass_scan: bool = True):
     """The triple batch is gathered ON DEVICE from the resident padded
     pool — each step ships only [B, 3] indices + times to the device
     instead of three [B, L] token arrays (the host->device transfer was
@@ -316,7 +316,7 @@ def make_retriever_epoch_fn(model: GPT2LMModel, optimizer, *, alpha: float,
                             eta: float, gamma: float, mask_token: int,
                             pad_id: int, pool_mode: str = "masked",
                             remat: str = "full",
-                            neg_pass_scan: bool = False):
+                            neg_pass_scan: bool = True):
     """Whole-epoch ``lax.scan`` over the step batches: ONE device dispatch
     per epoch (plus one for any remainder batch) instead of one per step —
     through a ~30ms-latency remote tunnel this is the difference between
